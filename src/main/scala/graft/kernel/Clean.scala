@@ -1,0 +1,184 @@
+package graft.kernel
+
+import java.nio.charset.{Charset, StandardCharsets}
+import java.util.regex.Pattern
+
+/** The per-document extraction pipeline — batch analogue of the reference's
+  * readability/clean.py `Clean`/`_Clean` (SURVEY.md §3.1): URL normalization
+  * (U1-U10), template short-circuits (U5-U8), the generic/special extractors
+  * (§2.4-2.6), the munge pipeline (§2.7) and the M14 wrapper.
+  *
+  * Network-era behaviors (fetch, redirects, content-type sniffing, live feed
+  * extraction) have no input in an archived-pages table and are out of the
+  * kernel (SURVEY.md §0, §7.6); URL-classification template paths are kept
+  * because they only interpolate the URL.
+  */
+object Clean {
+
+  final case class Cleaned(finalUrl: String, content: String, note: String,
+                           error: String)
+
+  private val FLAGS = Pattern.CASE_INSENSITIVE | Pattern.UNICODE_CASE
+
+  val MaxUrlDisplayLen = 60
+
+  private val ReFragment = Pattern.compile("#.*")
+  private val ReUtmParam = Pattern.compile("[?&]utm_[^&]+")
+  private val ReGoogleCachePdf =
+    Pattern.compile("^https?://docs.google.com.*cache:.*?:(.*?\\.pdf)", FLAGS)
+  private val ReGoogleDocId =
+    Pattern.compile("^https?://docs.google.com.*docid=(.*?)(&|$)", FLAGS)
+  private val ReYoutube =
+    Pattern.compile("^https?://www\\.youtube\\.com/watch", FLAGS)
+  private val ReYoutubeV = Pattern.compile("v=([^&]+)")
+  private val RePdf = Pattern.compile("\\.pdf(\\?|$)", FLAGS)
+  private val ReImage = Pattern.compile("\\.(gif|jpe?g|png)(\\?|$)", FLAGS)
+
+  /** util.py:88-91 (U1) — fetch-time utm strip (applied per redirect hop in
+    * the reference; exposed for the relational surface + tests).
+    */
+  def cleanUrl(url0: String): String = {
+    var url = Pattern.compile("utm_[a-z]+=[^&]+(&?)").matcher(url0)
+      .replaceAll("$1")
+    url = Pattern.compile("[?&]+$").matcher(url).replaceAll("")
+    url
+  }
+
+  /** clean.py:104-111 (U2/U3 + fragment/utm strip). */
+  def normalizeUrl(url0: String): String = {
+    var url = url0.replace("#!", "?_escaped_fragment_=")
+    url = ReFragment.matcher(url).replaceAll("")
+    url = ReUtmParam.matcher(url).replaceAll("")
+    url.replace("www.reddit.com", "old.reddit.com")
+  }
+
+  // ------------------------------------------------------- templates (U5-U8)
+  // Verbatim from the reference's Django templates (each file ends with \n);
+  // {{ x }} values HTML-escaped (Django autoescape), |urlencode = quote
+  // (safe="/"), |urlizetrunc:70 per Django defaults.
+
+  /** Django's conditional_escape for template variables. */
+  def djangoEscape(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;").replace("'", "&#x27;")
+
+  /** templates/google-docs.html */
+  def googleDocsTemplate(docid: String, url: String): String =
+    "Google Docs item:\n<ul>\n<li><a href=\"http://docs.google.com/viewer?a=v&pid=writely&srcid=" +
+      djangoEscape(docid) +
+      "&chrome=false&pli=1\">Open Preview</a></li>\n<li><a href=\"" +
+      djangoEscape(url) + "\">Open Original</a></li>\n</ul>\n"
+
+  /** templates/youtube.html */
+  def youtubeTemplate(videoId: String): String =
+    "<center>\n<iframe width=\"640\" height=\"390\" src=\"https://www.youtube.com/embed/" +
+      djangoEscape(videoId) +
+      "\" frameborder=\"0\"></iframe>\n</center>\n"
+
+  /** templates/pdf.html */
+  def pdfTemplate(url: String): String = {
+    val enc = djangoEscape(Py.quote(url))
+    "<ul>\n<li><a href=\"http://docs.google.com/gview?url=" + enc +
+      "&embedded=true\">View PDF as Images</a> (via Google)</li>\n" +
+      "<li><a href=\"http://view.samurajdata.se/ps.php?url=" + enc +
+      "\">View PDF as Images</a> (via Samuraj Data)</li>\n" +
+      "<li><a href=\"" + djangoEscape(url) + "\">Open PDF</a></li>\n</ul>\n"
+  }
+
+  /** templates/image.html — Django |urlizetrunc:70. */
+  def imageTemplate(url: String): String =
+    "(Image from " + urlizetrunc(url, 70) + "):<br>\n<img src=\"" +
+      djangoEscape(url) + "\">\n"
+
+  /** Django urlizetrunc: anchor with nofollow, display truncated with '…'. */
+  def urlizetrunc(url: String, limit: Int): String = {
+    val display =
+      if (url.length > limit) url.substring(0, limit - 1) + "…" else url
+    "<a href=\"" + djangoEscape(url) + "\" rel=\"nofollow\">" +
+      djangoEscape(display) + "</a>"
+  }
+
+  // ---------------------------------------------------------- decode (S4)
+
+  private val ReMetaCharset = Pattern.compile(
+    "<meta(?!\\s*(?:name|value)\\s*=)[^>]*?charset\\s*=[\\s\"']*([^\\s\"'/>]*)",
+    FLAGS)
+
+  /** Decode the html payload: meta-charset regex (clean.py:76) over an
+    * ISO-8859-1 preview, else UTF-8; undecodable bytes → U+FFFD
+    * (documented deviation from chardet, SURVEY.md §0.1).
+    */
+  def decodeHtml(bytes: Array[Byte]): String = {
+    val preview = new String(bytes, StandardCharsets.ISO_8859_1)
+    val m = ReMetaCharset.matcher(preview)
+    val cs: Charset =
+      if (m.find()) {
+        try Charset.forName(m.group(1))
+        catch { case _: Exception => StandardCharsets.UTF_8 }
+      } else StandardCharsets.UTF_8
+    val dec = cs.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+    dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+  }
+
+  // ------------------------------------------------------------- pipeline
+
+  /** clean.py:83-89 — the M14 wrapper. */
+  def wrap(url: String, html: String): String = {
+    val truncated =
+      if (url.length > MaxUrlDisplayLen) url.substring(0, 60) + "…" else url
+    "Content extracted from: <a href='" + url + "'>" + truncated +
+      "</a><hr>\n" + html
+  }
+
+  /** Batch _Clean (clean.py:92-166): returns (finalUrl, innerHtml, note). */
+  def cleanInner(url0: String, html: String): (String, String, String) = {
+    var url = normalizeUrl(url0)
+
+    val mCache = ReGoogleCachePdf.matcher(url)
+    if (mCache.find()) {
+      url = mCache.group(1)
+      if (!url.contains("http")) url = "http://" + url
+    }
+
+    val mDoc = ReGoogleDocId.matcher(url)
+    if (mDoc.find())
+      return (url, googleDocsTemplate(mDoc.group(1), url), "google-docs")
+
+    if (ReYoutube.matcher(url).find()) {
+      val mv = ReYoutubeV.matcher(url)
+      if (!mv.find())
+        throw new Extract.ExtractException("youtube watch URL without v=")
+      return (url, youtubeTemplate(mv.group(1)), "youtube")
+    }
+    if (RePdf.matcher(url).find()) return (url, pdfTemplate(url), "pdf")
+    if (ReImage.matcher(url).find()) return (url, imageTemplate(url), "image")
+
+    // Feed-extraction path requires a live feed fetch — always falls through
+    // to content extraction in the batch engine (SURVEY.md §3.1/§7.6).
+    val result = Extract.extractFromHtml(url, html)
+    val content = Munge.munge(result.soup, result.selected, url)
+    val note = result.selected match {
+      case Extract.SelStr(_) => "cleaned content, string"
+      case _                 => "cleaned content"
+    }
+    (url, content, note)
+  }
+
+  /** Full per-row kernel: decode → route → extract → munge → wrap.
+    * Total: any internal crash becomes an error result (SURVEY.md D8 —
+    * row failure must never be task failure).
+    */
+  def clean(url: String, htmlBytes: Array[Byte]): Cleaned = {
+    try {
+      val html = decodeHtml(htmlBytes)
+      val (finalUrl, inner, note) = cleanInner(url, html)
+      Cleaned(finalUrl, wrap(finalUrl, inner), note, null)
+    } catch {
+      case e: Exception =>
+        Cleaned(url, null, "error",
+          e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage))
+    }
+  }
+}

@@ -1,0 +1,324 @@
+package graft.kernel
+
+import scala.collection.mutable
+
+/** Mutable DOM ADT — the kernel-private tree the extractor works on.
+  *
+  * Never crosses a Spark row boundary (SURVEY.md §1.2): built by HtmlParser
+  * inside mapPartitions, mutated by Patterns/Extract/Munge, serialized to the
+  * output string. Semantics mirror bs4 4.x on html.parser as specified in
+  * SURVEY.md §2.3 P2 (no implied tags, void elements, raw-text script/style).
+  *
+  * Node kinds: Elem (bs4 Tag), Text (NavigableString), Comment, RawText
+  * (script/style contents — serialized unescaped), Directive (<!...>),
+  * ProcIn (<?...>). `.text` includes Text and RawText but not Comment /
+  * Directive / ProcIn (bs4 4.9+ get_text semantics); findTexts (bs4
+  * findAll(text=True)) includes ALL string nodes, comments too — the
+  * reference relies on this in CommentStrip (util.py:94-97) and hyphenation
+  * (clean.py:224).
+  */
+sealed abstract class DNode {
+  var parent: Elem = _
+
+  /** Index in parent.children, maintained lazily via indexOf (trees are
+    * small: one document each).
+    */
+  def extract(): this.type = {
+    if (parent != null) {
+      val i = parent.children.indexWhere(_ eq this)
+      if (i >= 0) parent.children.remove(i)
+      parent = null
+    }
+    this
+  }
+
+  def replaceWith(n: DNode): Unit = {
+    val p = parent
+    if (p == null) return
+    val i = p.children.indexWhere(_ eq this)
+    n.extract()
+    p.children(i) = n
+    n.parent = p
+    parent = null
+  }
+
+  def previousSibling: DNode = {
+    if (parent == null) return null
+    val i = parent.children.indexWhere(_ eq this)
+    if (i > 0) parent.children(i - 1) else null
+  }
+
+  def nextSibling: DNode = {
+    if (parent == null) return null
+    val i = parent.children.indexWhere(_ eq this)
+    if (i >= 0 && i + 1 < parent.children.length) parent.children(i + 1)
+    else null
+  }
+
+  /** Ancestors, nearest first (bs4 .parents — includes the document root). */
+  def ancestors: Iterator[Elem] = new Iterator[Elem] {
+    private var cur = DNode.this.parent
+    def hasNext: Boolean = cur != null
+    def next(): Elem = { val r = cur; cur = cur.parent; r }
+  }
+
+  /** bs4 findParent(name): nearest ancestor with any of the names. */
+  def findParent(names: Set[String]): Elem =
+    ancestors.find(a => names.contains(a.name)).orNull
+
+  def serialize(sb: StringBuilder): Unit
+
+  final def serialized: String = {
+    val sb = new StringBuilder; serialize(sb); sb.toString
+  }
+}
+
+class Text(var data: String) extends DNode {
+  /** Included in .text? (plain text and raw text yes; comments etc. no) */
+  def visible: Boolean = true
+  def serialize(sb: StringBuilder): Unit = Dom.escapeText(data, sb)
+}
+
+final class RawText(d: String) extends Text(d) {
+  override def serialize(sb: StringBuilder): Unit = sb.append(data)
+}
+
+final class Comment(d: String) extends Text(d) {
+  override def visible: Boolean = false
+  override def serialize(sb: StringBuilder): Unit =
+    sb.append("<!--").append(data).append("-->")
+}
+
+final class Directive(d: String) extends Text(d) {
+  override def visible: Boolean = false
+  override def serialize(sb: StringBuilder): Unit =
+    sb.append("<!").append(data).append(">")
+}
+
+final class ProcIn(d: String) extends Text(d) {
+  override def visible: Boolean = false
+  override def serialize(sb: StringBuilder): Unit =
+    sb.append("<?").append(data).append(">")
+}
+
+final class Elem(var name: String) extends DNode {
+  /** Insertion-ordered attrs; value null = bare attr (serialized bare).
+    * "class"/"rel" are normalized to single-space-joined token lists at parse
+    * time (bs4 stores them as lists; matching and serialization agree).
+    * A "score" key may be present as a placeholder for the float score below
+    * (bs4 stores the float directly in the attr dict; we keep dict position
+    * for serialization order fidelity but the value in `score`).
+    */
+  val attrs: mutable.LinkedHashMap[String, String] = mutable.LinkedHashMap.empty
+  val children: mutable.ArrayBuffer[DNode] = mutable.ArrayBuffer.empty
+  var score: Double = 0.0
+  var hasScore: Boolean = false // "type(tag['score']) is float"
+
+  def isDocument: Boolean = name == Dom.DocumentName
+
+  def attr(n: String): String = attrs.get(n) match {
+    case Some(null) => ""
+    case Some(v)    => v
+    case None       => null
+  }
+
+  def hasAttr(n: String): Boolean = attrs.contains(n)
+
+  def setAttr(n: String, v: String): Unit = attrs(n) = v
+
+  def delAttr(n: String): Unit = {
+    attrs.remove(n)
+    if (n == "score") { hasScore = false; score = 0.0 }
+  }
+
+  def setScore(v: Double): Unit = {
+    if (!attrs.contains("score")) attrs("score") = null
+    score = v
+    hasScore = true
+  }
+
+  def append(n: DNode): Unit = { n.extract(); n.parent = this; children += n }
+
+  def insert(i: Int, n: DNode): Unit = {
+    n.extract(); n.parent = this; children.insert(i, n)
+  }
+
+  /** All descendant nodes, document (pre-)order, excluding self. */
+  def descendants: Iterator[DNode] = new Iterator[DNode] {
+    private val stack = mutable.Stack[DNode]()
+    children.reverseIterator.foreach(stack.push)
+    def hasNext: Boolean = stack.nonEmpty
+    def next(): DNode = {
+      val n = stack.pop()
+      n match {
+        case e: Elem => e.children.reverseIterator.foreach(stack.push)
+        case _       =>
+      }
+      n
+    }
+  }
+
+  /** bs4 findAll(pred): descendant elems matching, doc order. */
+  def findAll(pred: Elem => Boolean): Seq[Elem] =
+    descendants.collect { case e: Elem if pred(e) => e }.toSeq
+
+  def findAll(name: String): Seq[Elem] = findAll(_.name == name)
+
+  def findAll(names: Set[String]): Seq[Elem] = findAll(e => names(e.name))
+
+  def find(pred: Elem => Boolean): Elem =
+    descendants.collectFirst { case e: Elem if pred(e) => e }.orNull
+
+  def find(name: String): Elem = find((e: Elem) => e.name == name)
+
+  /** Direct child elements (findAll(True, recursive=False)). */
+  def childElems: Seq[Elem] = children.collect { case e: Elem => e }.toSeq
+
+  /** Direct child text nodes (findAll(text=True, recursive=False)). */
+  def childTexts: Seq[Text] = children.collect { case t: Text => t }.toSeq
+
+  /** bs4 findAll(text=True): ALL string-node descendants incl. comments. */
+  def findTexts: Seq[Text] =
+    descendants.collect { case t: Text => t }.toSeq
+
+  /** bs4 Tag.text / get_text(): visible strings concatenated. */
+  def text: String = getText("")
+
+  def getText(sep: String): String = {
+    val parts = descendants.collect { case t: Text if t.visible => t.data }
+    parts.mkString(sep)
+  }
+
+  /** bs4 findPreviousSibling(fn): nearest previous sibling Elem matching. */
+  def findPreviousSibling(pred: Elem => Boolean): Elem = {
+    if (parent == null) return null
+    val i = parent.children.indexWhere(_ eq this)
+    var k = i - 1
+    while (k >= 0) {
+      parent.children(k) match {
+        case e: Elem if pred(e) => return e
+        case _                  =>
+      }
+      k -= 1
+    }
+    null
+  }
+
+  /** bs4 findNextSibling(): nearest following sibling Elem. */
+  def findNextSibling(): Elem = {
+    if (parent == null) return null
+    val i = parent.children.indexWhere(_ eq this)
+    var k = i + 1
+    while (k < parent.children.length) {
+      parent.children(k) match {
+        case e: Elem => return e
+        case _       =>
+      }
+      k += 1
+    }
+    null
+  }
+
+  /** bs4 findPreviousSiblings(text=True): previous sibling string nodes,
+    * nearest first (includes comments — SoupStrainer text matching applies
+    * to all NavigableStrings).
+    */
+  def previousSiblingTexts: Seq[Text] = {
+    if (parent == null) return Seq.empty
+    val i = parent.children.indexWhere(_ eq this)
+    (0 until i).reverseIterator
+      .map(parent.children(_))
+      .collect { case t: Text => t }
+      .toSeq
+  }
+
+  /** bs4 findAllPrevious(): every Elem strictly before this node in document
+    * order over the whole tree, nearest (reverse document order) first.
+    * Includes ancestors (bs4's previous-element chain passes through them).
+    */
+  def findAllPrevious(): Seq[Elem] = {
+    val root = ancestors.toSeq.lastOption.getOrElse(
+      this.asInstanceOf[Elem])
+    val before = mutable.ArrayBuffer.empty[Elem]
+    val it = root.descendants
+    var found = false
+    val anc = ancestors.toSet
+    while (it.hasNext && !found) {
+      it.next() match {
+        case e: Elem if e eq this => found = true
+        case e: Elem              => before += e
+        case _                    =>
+      }
+    }
+    // reverse doc order; ancestors ARE included by bs4 (filtered by callers)
+    before.reverseIterator.filter(e => !e.isDocument).toSeq
+  }
+
+  def serialize(sb: StringBuilder): Unit = {
+    if (isDocument) { children.foreach(_.serialize(sb)); return }
+    sb.append('<').append(name)
+    for ((k, v) <- attrs) {
+      sb.append(' ').append(k)
+      if (k == "score" && hasScore) {
+        sb.append("=\"").append(Py.floatRepr(score)).append('"')
+      } else if (v != null) {
+        sb.append("=\"")
+        Dom.escapeAttr(v, sb)
+        sb.append('"')
+      }
+    }
+    if (Dom.VoidElements.contains(name) && children.isEmpty) {
+      sb.append("/>")
+    } else {
+      sb.append('>')
+      children.foreach(_.serialize(sb))
+      sb.append("</").append(name).append('>')
+    }
+  }
+}
+
+object Dom {
+  val DocumentName = "[document]"
+
+  /** bs4 HTMLTreeBuilder.empty_element_tags (the html.parser builder). */
+  val VoidElements: Set[String] = Set(
+    "area", "base", "br", "col", "embed", "hr", "img", "input", "keygen",
+    "link", "menuitem", "meta", "param", "source", "track", "wbr",
+    "basefont", "bgsound", "command", "frame", "image", "isindex", "nextid",
+    "spacer")
+
+  /** Attributes bs4 treats as whitespace-separated lists on any tag. */
+  val MultiValuedAttrs: Set[String] = Set("class", "rel", "rev", "headers",
+    "accesskey", "dropzone")
+
+  def newDocument(): Elem = new Elem(DocumentName)
+
+  /** bs4 minimal formatter: text escapes &, <, >. */
+  def escapeText(s: String, sb: StringBuilder): Unit = {
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '&' => sb.append("&amp;")
+        case '<' => sb.append("&lt;")
+        case '>' => sb.append("&gt;")
+        case c   => sb.append(c)
+      }
+      i += 1
+    }
+  }
+
+  /** Attribute values additionally escape the quote. */
+  def escapeAttr(s: String, sb: StringBuilder): Unit = {
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '&' => sb.append("&amp;")
+        case '<' => sb.append("&lt;")
+        case '>' => sb.append("&gt;")
+        case '"' => sb.append("&quot;")
+        case c   => sb.append(c)
+      }
+      i += 1
+    }
+  }
+}
