@@ -1,13 +1,67 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.spark.{ExtractJob, PagesGen}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Query naming: d* = reference dataflow ops (SURVEY.md §2.9), q1 = lineage
+  * aggregate, t* = training-data pipeline ops (dedup / similarity / text /
+  * multimodal), x* = the extraction pipeline itself (kernel — not
+  * SQL-expressible, rows-only checks).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the full extraction pipeline (synthesized Common-Crawl-style
+    * pages → scored/stripped/munged content) on sf=0.001.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    extractQuery(spark, "/root/testdata/sf0.001")
+
+  /** pages → pid → kernel → (url, note, error, content length, pid). */
+  def extractQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val pages = PagesGen.asDataFrame(spark, sfDir)
+    val buckets = 32
+    ExtractJob.extract(ExtractJob.withPid(pages, buckets), buckets)
+      .toDF()
+      .select(
+        col("url"),
+        col("pid").cast("long").as("pid"),
+        col("note"),
+        coalesce(col("error"), lit("")).as("error"),
+        coalesce(length(col("content")), lit(0)).cast("long").as("content_len"))
+  }
+
+  /** Per-partition lineage of the extraction run (deterministic columns
+    * only — wall time excluded).
+    */
+  def lineageQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val pages = PagesGen.asDataFrame(spark, sfDir)
+    val buckets = 32
+    val extracted = ExtractJob.extract(ExtractJob.withPid(pages, buckets), buckets)
+    ExtractJob.lineage(extracted, "verify")
+      .select(
+        col("partition_id").cast("long").as("partition_id"),
+        col("input_count"), col("input_bytes"), col("ok_count"), col("fail_count"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.spark.Relational.queries ++
+      graft.ops.TextOps.queries ++
+      graft.ops.Dedup.queries ++
+      graft.ops.Similarity.queries ++
+      graft.ops.Multimodal.queries ++
+      Map(
+        "x1_extract" -> ((s: SparkSession, d: String) => extractQuery(s, d)),
+        "x2_extract_lineage" -> ((s: SparkSession, d: String) => lineageQuery(s, d)))
+
+  /** DuckDB oracles for every SQL-expressible query above; kernel-backed
+    * (x*) and hash-seeded (t5/t6/t7/t9/t10/t11/t12) ops are rows-only.
+    */
+  def oracleSql: Map[String, String] =
+    graft.spark.Relational.oracles ++
+      graft.ops.TextOps.oracles ++
+      graft.ops.Dedup.oracles
 }

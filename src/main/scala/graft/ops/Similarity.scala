@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (vec_id, embedding: array<float>, label).
+  *
+  * Two paths:
+  *  - `knnBruteForce`: exact cosine top-k for a bounded query set — the
+  *    correctness baseline. query-set × corpus join with the small side
+  *    broadcast; dot product via zip_with/aggregate (codegen'd, no UDF).
+  *  - `annLsh`: the scale path — sign-random-projection (hyperplane) LSH:
+  *    each vector hashes to a bucket id from the signs of `NumPlanes` fixed
+  *    pseudo-random hyperplanes; neighbors are ranked within-bucket only.
+  *    At 100 TB this is a hash-partition on bucket + per-bucket top-k
+  *    (window), never an all-pairs product. An IVF (k-means coarse
+  *    quantizer) would be the next refinement; bucket shape is identical.
+  */
+object Similarity {
+
+  val NumPlanes = 12 // 4096 buckets
+  val Dim = 64
+
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.selectExpr("vec_id", "embedding",
+      "sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm")
+
+  private val CosineExpr =
+    """round(aggregate(zip_with(q_v, c_v, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+      | CAST(0.0 AS DOUBLE), (a, x) -> a + x) / (q_n * c_n), 4) AS cosine"""
+      .stripMargin.replace("\n", " ")
+
+  /** Exact top-k cosine neighbors for the first `numQueries` vec_ids. */
+  def knnBruteForce(
+      spark: SparkSession,
+      sfDir: String,
+      numQueries: Int = 20,
+      k: Int = 5): DataFrame = {
+    val e = withNorm(embeddings(spark, sfDir))
+    val q = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_v"), col("nrm").as("q_n"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_v"), col("nrm").as("c_n"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .selectExpr("query_id", "neighbor_id", CosineExpr)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank").cast("long").as("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes (seeded; no external data). */
+  def planes(numPlanes: Int = NumPlanes, dim: Int = Dim, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(numPlanes, dim)(rnd.nextGaussian())
+  }
+
+  /** Bucket id column: bit i = sign(dot(plane_i, v)). Pure expression —
+    * the plane matrix is folded into the plan as literals.
+    */
+  def bucketExpr(numPlanes: Int = NumPlanes): String = {
+    val ps = planes(numPlanes)
+    val bits = (0 until numPlanes).map { i =>
+      val dot = ps(i).zipWithIndex
+        .map { case (w, j) => s"CAST(element_at(embedding, ${j + 1}) AS DOUBLE) * $w" }
+        .mkString(" + ")
+      s"(CASE WHEN ($dot) > 0 THEN ${1L << i}L ELSE 0L END)"
+    }
+    bits.mkString("(", " + ", ")")
+  }
+
+  /** LSH-bucketed ANN: within-bucket exact cosine top-k per vector. */
+  def annLsh(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    val e = withNorm(embeddings(spark, sfDir))
+      .withColumn("bucket", expr(bucketExpr()))
+    val a = e.select(col("bucket"), col("vec_id").as("query_id"),
+      col("embedding").as("q_v"), col("nrm").as("q_n"))
+    val b = e.select(col("bucket"), col("vec_id").as("neighbor_id"),
+      col("embedding").as("c_v"), col("nrm").as("c_n"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    a.join(b, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .selectExpr("bucket", "query_id", "neighbor_id", CosineExpr)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank").cast("long").as("rank"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t10_knn_bruteforce" -> ((s, d) => knnBruteForce(s, d)),
+    "t11_ann_lsh" -> ((s, d) => annLsh(s, d))
+  )
+}

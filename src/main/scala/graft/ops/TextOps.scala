@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline, over the
+  * `documents` table (doc_id, text, lang, source, n_chars).
+  *
+  * All four are pure Catalyst expressions (no UDFs): tokenization, quality
+  * ratios, language-ID and fingerprinting are built from split/filter/
+  * aggregate/xxhash64 higher-order functions, so they stay inside
+  * whole-stage codegen and scale linearly with zero shuffles (narrow,
+  * per-row). Only the final write/aggregate of a caller introduces a
+  * shuffle.
+  */
+object TextOps {
+
+  def docs(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
+  private val Toks = "filter(split(text, '\\\\s+'), x -> x != '')"
+
+  /** Token counting: whitespace tokens + a BPE-ish sub-token regex
+    * (letter runs / digit runs / single other symbol).
+    */
+  def tokenCount(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).selectExpr(
+      "doc_id",
+      "CAST(length(text) AS BIGINT) AS n_chars_m",
+      s"CAST(size($Toks) AS BIGINT) AS n_tokens",
+      "CAST(size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)) AS BIGINT) AS n_subtokens")
+
+  private val Stop = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "that", "for", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "pour", "que", "dans", "une"),
+    "es" -> Seq("el", "los", "y", "es", "no", "por", "para", "una", "se", "como"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我", "他", "这"))
+
+  private def arr(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("array(", ",", ")")
+  private def hits(l: String) =
+    s"size(filter(filter(split(lower(text), '\\\\s+'), x -> x != ''), x -> array_contains(${arr(Stop(l))}, x)))"
+
+  /** Quality scoring: length, word stats, punctuation & stopword ratios —
+    * the standard pretraining-filter features (C4/Gopher-style).
+    */
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).selectExpr(
+      "doc_id",
+      "CAST(length(text) AS BIGINT) AS n_chars_m",
+      s"CAST(size($Toks) AS BIGINT) AS n_words",
+      s"round(length(replace(text, ' ', '')) / greatest(size($Toks), 1), 4) AS avg_word_len",
+      "CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '')) AS BIGINT) AS n_punct",
+      s"round(${hits("en")} / greatest(size($Toks), 1), 4) AS stopword_ratio")
+
+  /** Language-ID: stopword-profile scoring with a fixed-priority argmax
+    * (deterministic tie-break en→de→fr→es→zh, else 'und'). A character
+    * n-gram model would be the production upgrade; the operator shape
+    * (per-row, codegen'd, no shuffle) is identical.
+    */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = Stop.keys.map(l => l -> s"h_$l").toMap
+    val scored = docs(spark, sfDir).selectExpr(
+      Seq("doc_id", "lang") ++ Stop.keys.map(l => s"${hits(l)} AS ${h(l)}"): _*)
+    val langs = Seq("en", "de", "fr", "es", "zh")
+    val pred = langs
+      .foldLeft(when(lit(false), lit(""))) { (acc, l) =>
+        val ge = langs.filter(_ != l).map(o => col(h(l)) >= col(h(o))).reduce(_ && _)
+        acc.when(col(h(l)) > 0 && ge, lit(l))
+      }
+      .otherwise(lit("und"))
+    scored.select(col("doc_id"), col("lang"), pred.as("lang_pred"))
+  }
+
+  /** Document fingerprint: order-sensitive rolling hash over tokens
+    * (polynomial accumulate of xxhash64 token hashes) + an order-free
+    * content hash — both via codegen'd higher-order functions.
+    */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).selectExpr(
+      "doc_id",
+      s"aggregate($Toks, CAST(0 AS BIGINT), (acc, x) -> xxhash64(acc, x)) AS rolling_fp",
+      s"aggregate($Toks, CAST(0 AS BIGINT), (acc, x) -> acc ^ xxhash64(x)) AS bag_fp")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t2_token_count" -> ((s, d) => tokenCount(s, d)),
+    "t3_quality_score" -> ((s, d) => qualityScore(s, d)),
+    "t4_lang_id" -> ((s, d) => langId(s, d)),
+    "t5_fingerprint" -> ((s, d) => fingerprint(s, d))
+  )
+
+  /** DuckDB mirrors (xxhash64 has no DuckDB equivalent → t5 is rows-only;
+    * t4's stopword CASE is mirrored exactly).
+    */
+  val oracles: Map[String, String] = {
+    def dToks = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')"
+    def dHits(l: String) =
+      s"len(list_filter(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != ''), x -> list_contains([${Stop(l).map(w => s"'$w'").mkString(",")}], x)))"
+    val langs = Seq("en", "de", "fr", "es", "zh")
+    val caseExpr = langs
+      .map { l =>
+        val ge = langs.filter(_ != l).map(o => s"${dHits(l)} >= ${dHits(o)}").mkString(" AND ")
+        s"WHEN ${dHits(l)} > 0 AND $ge THEN '$l'"
+      }
+      .mkString("CASE ", " ", " ELSE 'und' END")
+    Map(
+      "t2_token_count" ->
+        s"""SELECT doc_id, length(text) AS n_chars_m, CAST(len($dToks) AS BIGINT) AS n_tokens,
+           |       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_subtokens
+           |FROM documents""".stripMargin,
+      "t3_quality_score" ->
+        s"""SELECT doc_id, length(text) AS n_chars_m, CAST(len($dToks) AS BIGINT) AS n_words,
+           |       round(length(replace(text, ' ', '')) / greatest(len($dToks), 1), 4) AS avg_word_len,
+           |       length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+           |       round(${dHits("en")} / greatest(len($dToks), 1), 4) AS stopword_ratio
+           |FROM documents""".stripMargin,
+      "t4_lang_id" ->
+        s"SELECT doc_id, lang, $caseExpr AS lang_pred FROM documents"
+    )
+  }
+}

@@ -1,0 +1,197 @@
+package graft.spark
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.kernel.Clean
+
+/** The flagship pipeline (SURVEY.md §3.1/§4.2):
+  *
+  *   scan(pages) → [resume anti-filter] → byte-aware salted repartition on an
+  *   explicit `pid` column → mapPartitions(extraction kernel) → extracted +
+  *   per-partition lineage.
+  *
+  * Scale posture (north rule, 10^12 docs):
+  *   - exactly ONE shuffle (the pid repartition); everything upstream is a
+  *     column-pruned scan + a hash on `url`.
+  *   - `pid = pmod(xxhash64(url), P)` is computed as a COLUMN, so partition
+  *     identity is a pure function of the row, independent of AQE coalescing
+  *     or physical partition indices (SURVEY.md §7.5.5).
+  *   - byte-aware sizing: P is derived from `sum(length(html))` (cheap —
+  *     parquet column stats / projection without materializing blobs) so a
+  *     bucket holds ~`targetBytesPerBucket` of HTML regardless of row-size
+  *     distribution; fine-grained hash buckets smooth skew statistically,
+  *     and single giant documents are bounded by `maxHtmlBytes` (the
+  *     reference bounds work by fetch deadline, util.py:100; we bound by
+  *     size — SURVEY.md §4.2).
+  *   - row failure ≠ job failure: the kernel is wrapped in bounded retry and
+  *     failures become `error` rows + lineage failure samples (feed.py
+  *     121-139 semantics, D8).
+  *   - resume: a committed (run_id, pid) set from the lineage table filters
+  *     the scan; re-run writes with dynamic partition overwrite on pid so
+  *     duplicates cannot survive (§7.4).
+  */
+object ExtractJob {
+
+  val DefaultMaxHtmlBytes: Int = 4 * 1024 * 1024
+  val DefaultTargetBytesPerBucket: Long = 128L * 1024 * 1024
+  val MaxFailureSamples = 5
+
+  /** Byte-aware bucket count: ceil(totalHtmlBytes / target), clamped.
+    * Reads only `length(html)` — verify with explain() that the scan does
+    * not materialize other columns.
+    */
+  def chooseBuckets(
+      pages: DataFrame,
+      targetBytesPerBucket: Long = DefaultTargetBytesPerBucket,
+      minBuckets: Int = 4,
+      maxBuckets: Int = 1 << 20): Int = {
+    val total = pages
+      .select(sum(length(col("html"))).cast("long").as("b"))
+      .head()
+      .getAs[Long]("b")
+    val p = math.ceil(total.toDouble / targetBytesPerBucket).toLong
+    math.min(math.max(p, minBuckets.toLong), maxBuckets.toLong).toInt
+  }
+
+  /** Explicit partition-bucket column. */
+  def withPid(pages: DataFrame, buckets: Int): DataFrame =
+    pages.withColumn("pid", pmod(xxhash64(col("url")), lit(buckets)).cast("int"))
+
+  /** The kernel applied per partition. Input must carry `pid`. */
+  def extract(
+      pagesWithPid: DataFrame,
+      buckets: Int,
+      maxHtmlBytes: Int = DefaultMaxHtmlBytes,
+      attempts: Int = 2): Dataset[ExtractedRow] = {
+    val spark = pagesWithPid.sparkSession
+    import spark.implicits._
+    pagesWithPid
+      .select("url", "html", "pid")
+      .repartition(buckets, col("pid"))
+      .as[(String, Array[Byte], Int)]
+      .mapPartitions { it =>
+        it.map { case (url, html, pid) =>
+          extractOne(url, html, pid, maxHtmlBytes, attempts)
+        }
+      }
+  }
+
+  /** One row through the kernel: size cap → bounded retry → error row. */
+  def extractOne(
+      url: String,
+      html: Array[Byte],
+      pid: Int,
+      maxHtmlBytes: Int,
+      attempts: Int): ExtractedRow = {
+    val nBytes = if (html == null) 0L else html.length.toLong
+    val t0 = System.nanoTime()
+    def done(content: String, note: String, error: String) =
+      ExtractedRow(url, pid, content, note, error, nBytes,
+        (System.nanoTime() - t0) / 1000L)
+    if (nBytes > maxHtmlBytes)
+      done(null, "size-cap", s"html ${nBytes}B exceeds cap ${maxHtmlBytes}B")
+    else {
+      var attempt = 0
+      var out: ExtractedRow = null
+      while (out == null && attempt < attempts) {
+        attempt += 1
+        try {
+          val c = Clean.clean(url, if (html == null) Array.emptyByteArray else html)
+          out = done(c.content, c.note, c.error)
+        } catch {
+          case e: Throwable if attempt >= attempts =>
+            val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
+            out = done(null, "kernel-failure", msg)
+          case _: Throwable => // retry
+        }
+      }
+      out
+    }
+  }
+
+  /** Per-partition lineage, aggregated from the extracted rows by the pid
+    * COLUMN (partial/map-side aggregation; survives AQE).
+    */
+  def lineage(extracted: Dataset[ExtractedRow], runId: String): Dataset[LineageRow] = {
+    val spark = extracted.sparkSession
+    import spark.implicits._
+    extracted
+      .groupBy(col("pid"))
+      .agg(
+        count(lit(1)).as("input_count"),
+        sum(col("in_bytes")).as("input_bytes"),
+        count(when(col("error").isNull, 1)).as("ok_count"),
+        count(when(col("error").isNotNull, 1)).as("fail_count"),
+        slice(
+          collect_list(
+            when(col("error").isNotNull, struct(col("url"), col("error")))),
+          1, MaxFailureSamples).as("failure_samples"),
+        (sum(col("wall_us")) / 1000L).cast("long").as("wall_ms"))
+      .select(
+        lit(runId).as("run_id"),
+        col("pid").as("partition_id"),
+        col("input_count"),
+        col("input_bytes"),
+        col("ok_count"),
+        col("fail_count"),
+        col("failure_samples"),
+        col("wall_ms"))
+      .as[LineageRow]
+  }
+
+  /** Committed pids for a run (from the lineage table), for resume. */
+  def committedPids(lineageDf: DataFrame, runId: String): Set[Int] =
+    lineageDf
+      .filter(col("run_id") === runId)
+      .select("partition_id")
+      .distinct()
+      .collect()
+      .map(_.getInt(0))
+      .toSet
+
+  /** End-to-end checkpointed run against a directory "warehouse":
+    *   <outDir>/extracted/pid=<n>/...  (dynamic partition overwrite)
+    *   <outDir>/lineage/...            (append; one row per committed pid)
+    * A re-run with the same runId skips committed pids and overwrites only
+    * the pids it re-extracts — partition-granularity idempotent resume
+    * (§7.4). `failAfterPids` deliberately stops after K buckets to simulate
+    * a killed job (used by the resume test).
+    */
+  def runToDir(
+      spark: SparkSession,
+      pages: DataFrame,
+      outDir: String,
+      runId: String,
+      buckets: Int,
+      maxHtmlBytes: Int = DefaultMaxHtmlBytes,
+      failAfterPids: Int = Int.MaxValue): Unit = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val lineagePath = s"$outDir/lineage"
+    val committed: Set[Int] =
+      try committedPids(spark.read.parquet(lineagePath), runId)
+      catch { case _: Throwable => Set.empty }
+
+    val withP = withPid(pages, buckets)
+    val pending = withP.filter(!col("pid").isin(committed.toSeq: _*))
+    val scope =
+      if (failAfterPids == Int.MaxValue) pending
+      else {
+        val keep = (0 until buckets)
+          .filterNot(committed.contains)
+          .take(failAfterPids)
+        pending.filter(col("pid").isin(keep: _*))
+      }
+
+    val extracted = extract(scope, buckets, maxHtmlBytes).cache()
+    extracted.write
+      .mode(SaveMode.Overwrite)
+      .partitionBy("pid")
+      .parquet(s"$outDir/extracted")
+    // lineage commits LAST: a pid is "done" only once its lineage row exists,
+    // so a crash between the two writes re-runs (and re-overwrites) the pid.
+    lineage(extracted, runId).write.mode(SaveMode.Append).parquet(lineagePath)
+    extracted.unpersist()
+  }
+}

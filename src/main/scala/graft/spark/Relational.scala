@@ -1,0 +1,170 @@
+package graft.spark
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's multi-row dataflow operators (SURVEY.md §2.9, D1-D7)
+  * re-expressed as Catalyst-planned DataFrame ops over the driver's
+  * TPC-H-ish tables. Each body is a `SparkEntry.queries` entry with a
+  * DuckDB oracle.
+  *
+  * Scale notes per operator are inline; common rules:
+  *  - dims (region/nation/supplier) are broadcast — no shuffle on the fact.
+  *  - aggregates are partial (map-side combine) by construction.
+  *  - every computed/aggregate column is aliased identically to the oracle
+  *    SQL (the driver's compare keys on column names).
+  */
+object Relational {
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** D1 — content-key derivation: base64(sha256(id|status)), the reference's
+    * entry dedup key (feed.py:142-148). Spark's sha2 returns hex → unhex →
+    * base64 for bit-fidelity with the reference's raw-digest base64.
+    */
+  def d1EntryKey(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "orders")
+      .select(
+        col("o_orderkey"),
+        base64(unhex(sha2(
+          concat(col("o_orderkey").cast("string"), lit("|"), col("o_orderstatus")),
+          256))).as("entry_key"))
+
+  /** D2 — dedup-against-existing as a LEFT ANTI join (feed.py:200-211).
+    * At scale: the "existing keys" side is the small one (50/feed in the
+    * reference; committed-lineage pids for resume) → broadcast, no shuffle.
+    */
+  def d2AntiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = table(spark, sfDir, "orders")
+    val li = table(spark, sfDir, "lineitem").select(col("l_orderkey")).distinct()
+    orders
+      .join(li, col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+  }
+
+  private def rankWindow =
+    Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+
+  /** D3 — per-group top-K retention window (50/feed, models.py:25;
+    * feed.py:194-198). One shuffle on the group key; row_number prunes
+    * early under WindowGroupLimit pushdown in Spark 4.
+    */
+  def d3TopK(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame =
+    table(spark, sfDir, "orders")
+      .withColumn("rn", row_number().over(rankWindow))
+      .filter(col("rn") <= k)
+      .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+
+  /** D4 — stale-row complement (rank > K → delete set; models.py:45-48). */
+  def d4StaleComplement(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame =
+    table(spark, sfDir, "orders")
+      .withColumn("rn", row_number().over(rankWindow))
+      .filter(col("rn") > k)
+      .select(col("o_custkey"), col("o_orderkey"))
+
+  /** D5 — fact⋈dim join with explicit broadcast (feed↔entries,
+    * models.py:39-42): customer → nation → region, dims broadcast so the
+    * only shuffle is the final aggregation.
+    */
+  def d5BroadcastJoin(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "customer")
+      .join(broadcast(table(spark, sfDir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(table(spark, sfDir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        round(sum(col("c_acctbal")), 2).as("sum_acctbal"))
+
+  /** D6 — scheduling scan: filter + computed due-time column
+    * (tasks.py:69-71: last_fetch_time + fetch_interval_seconds). floor()
+    * before the bigint cast keeps Spark (truncate) and DuckDB (round)
+    * agreeing.
+    */
+  def d6SchedulingScan(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "events")
+      .filter(col("event_type") === lit("purchase"))
+      .select(
+        col("event_id"),
+        col("user_id"),
+        (unix_timestamp(col("ts")) + floor(col("value")).cast("bigint")).as("due_at"))
+
+  /** D7 — adaptive-interval clamp (feed.py:45-46,171-179): interval×1.1
+    * clamped to [3600, 259200] s.
+    */
+  def d7IntervalClamp(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "events")
+      .select(
+        col("event_id"),
+        round(least(greatest(col("value") * 3600.0, lit(3600.0)), lit(259200.0)), 4)
+          .as("new_interval"))
+
+  /** Lineage-style aggregate (north rule; SURVEY.md §2.10): the classic
+    * grouped rollup shape used for per-partition lineage, run over
+    * lineitem. Partial aggregation + 2 grouping cols → tiny shuffle.
+    */
+  def q1LineageAgg(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"))
+
+  val oracles: Map[String, String] = Map(
+    "d1_entry_key" ->
+      """SELECT o_orderkey,
+        |       to_base64(from_hex(sha256(concat(CAST(o_orderkey AS VARCHAR), '|', o_orderstatus)))) AS entry_key
+        |FROM orders""".stripMargin,
+    "d2_anti_join" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)""".stripMargin,
+    "d3_topk_window" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
+    "d4_stale_complement" ->
+      """SELECT o_custkey, o_orderkey FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders) WHERE rn > 3""".stripMargin,
+    "d5_broadcast_join" ->
+      """SELECT r_name, CAST(count(*) AS BIGINT) AS n_customers,
+        |       round(sum(c_acctbal), 2) AS sum_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |              JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+    "d6_scheduling_scan" ->
+      """SELECT event_id, user_id,
+        |       CAST(floor(epoch(ts)) AS BIGINT) + CAST(floor(value) AS BIGINT) AS due_at
+        |FROM events WHERE event_type = 'purchase'""".stripMargin,
+    "d7_interval_clamp" ->
+      """SELECT event_id,
+        |       round(least(greatest(value * 3600.0, 3600.0), 259200.0), 4) AS new_interval
+        |FROM events""".stripMargin,
+    "q1_lineage_agg" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n_rows,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_price,
+        |       round(avg(l_discount), 4) AS avg_disc
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_entry_key" -> ((s, d) => d1EntryKey(s, d)),
+    "d2_anti_join" -> ((s, d) => d2AntiJoin(s, d)),
+    "d3_topk_window" -> ((s, d) => d3TopK(s, d)),
+    "d4_stale_complement" -> ((s, d) => d4StaleComplement(s, d)),
+    "d5_broadcast_join" -> ((s, d) => d5BroadcastJoin(s, d)),
+    "d6_scheduling_scan" -> ((s, d) => d6SchedulingScan(s, d)),
+    "d7_interval_clamp" -> ((s, d) => d7IntervalClamp(s, d)),
+    "q1_lineage_agg" -> ((s, d) => q1LineageAgg(s, d))
+  )
+}
