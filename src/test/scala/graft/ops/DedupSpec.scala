@@ -1,0 +1,118 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import graft.spark.SparkSpec
+
+/** Dedup/similarity operators over a planted corpus: the synthetic
+  * `documents` word salad contains no near-dups at sf0.001, so these specs
+  * write a temp corpus with known exact-dup / near-dup / distinct structure
+  * and assert the operators find exactly the planted pairs.
+  */
+class DedupSpec extends SparkSpec {
+
+  private lazy val plantedDir: String = {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-dedup").toString
+    val base = (0 until 40)
+      .map(i => s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i")
+    val doc0 = base.mkString(" ")                       // 240 tokens
+    val doc1 = doc0                                     // exact dup of 0
+    val doc2 = doc0 + " omega tail"                     // near dup of 0
+    val doc3 = (0 until 40)                             // distinct
+      .map(i => s"kappa$i lambda$i mu$i nu$i xi$i omicron$i").mkString(" ")
+    val doc4 = "tiny doc"                               // < 3 tokens
+    val docs = Seq(doc0, doc1, doc2, doc3, doc4).zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", s"src$i", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.parquet(s"$dir/documents.parquet")
+
+    val rnd = new java.util.Random(7)
+    def vec(seed: Array[Float], noise: Float): Array[Float] =
+      seed.map(x => x + noise * rnd.nextFloat())
+    val v0 = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val v3 = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val vecs = Seq(
+      (0L, v0.toSeq, 0), (1L, vec(v0, 0.01f).toSeq, 0), // near-identical pair
+      (2L, vec(v0, 0.05f).toSeq, 0),
+      (3L, v3.toSeq, 1), (4L, vec(v3, 0.01f).toSeq, 1))
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("exact dedup groups the identical pair under min keeper id") {
+    val rows = Dedup.exact(spark, plantedDir).collect()
+    assert(rows.length == 4) // 5 docs, one exact-dup pair
+    val dup = rows.find(_.getAs[Long]("n") == 2).get
+    assert(dup.getAs[Long]("keep_id") == 0L)
+  }
+
+  test("minhash+LSH finds exact and near dup pairs, not distinct ones") {
+    val pairs = Dedup.minhashLsh(spark, plantedDir, th = 0.5)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("est_jaccard")))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((0L, 1L)))
+    val exact = pairs.find(p => (p._1, p._2) == ((0L, 1L))).get
+    assert(exact._3 == 1.0)
+    assert(keys.contains((0L, 2L)) && keys.contains((1L, 2L)))
+    assert(keys.forall { case (a, b) => Set(a, b).subsetOf(Set(0L, 1L, 2L)) })
+  }
+
+  test("simhash: identical docs get identical signatures; near dups within hamming 3") {
+    val pairs = Dedup.simhashDedup(spark, plantedDir, maxHamming = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Long]("hamming")))
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m((0L, 1L)) == 0L)
+    assert(m.contains((0L, 2L)))
+    assert(!m.keySet.exists { case (a, b) => b == 3L || a == 3L })
+  }
+
+  test("n-gram jaccard: exact pair = 1.0, near pair high, cross pairs absent") {
+    val rows = Dedup.ngramJaccard(spark, plantedDir, th = 0.05)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("jaccard"))
+      .toMap
+    assert(rows((0L, 1L)) == 1.0)
+    assert(rows((0L, 2L)) > 0.9)
+    assert(!rows.keySet.exists { case (a, b) => b == 3L || a == 3L })
+  }
+
+  test("embedding cosine near-dup finds the planted near-identical pairs") {
+    val rows = Dedup.embeddingCosine(spark, plantedDir, th = 0.95)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("cosine"))
+      .toMap
+    assert(rows.contains((0L, 1L)) && rows((0L, 1L)) > 0.99)
+    assert(rows.contains((3L, 4L)))
+    assert(!rows.keySet.exists { case (a, b) => Set(0L, 1L, 2L).contains(a) && Set(3L, 4L).contains(b) })
+  }
+
+  test("knn brute force: nearest neighbor of vec 0 is its planted twin") {
+    val rows = Similarity.knnBruteForce(spark, plantedDir, numQueries = 3, k = 2)
+      .collect()
+      .filter(_.getAs[Long]("query_id") == 0L)
+      .sortBy(_.getAs[Long]("rank"))
+    assert(rows.head.getAs[Long]("neighbor_id") == 1L)
+    assert(rows.head.getAs[Double]("cosine") > 0.99)
+  }
+
+  test("ann lsh co-buckets the near-identical vectors") {
+    val rows = Similarity.annLsh(spark, plantedDir, k = 3)
+      .collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id"))
+    assert(rows.contains((0L, 1L)) && rows.contains((1L, 0L)))
+  }
+
+  test("media features: deterministic stub decode with stable schema") {
+    val rows = Multimodal.mediaFeatures(spark, sf001).collect()
+    assert(rows.length == 500)
+    assert(rows.forall(_.getAs[Long]("feat_dim") == Multimodal.FeatDim.toLong))
+    assert(rows.forall(_.getAs[Long]("n_bytes") > 0))
+    val again = Multimodal.mediaFeatures(spark, sf001).collect()
+    assert(rows.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+  }
+}

@@ -1,0 +1,109 @@
+package graft.spark
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+import graft.kernel.Clean
+
+/** End-to-end extraction pipeline specs (SURVEY.md §5.2.4): the Spark
+  * plumbing must be byte-lossless vs the kernel, lineage must balance, and
+  * resume must be idempotent at partition granularity.
+  */
+class PipelineSpec extends SparkSpec {
+
+  private lazy val pages = PagesGen.fromDocuments(spark, sf001).collect()
+
+  test("spark extraction is byte-identical to the kernel per url") {
+    val buckets = 8
+    val viaSpark = ExtractJob
+      .extract(ExtractJob.withPid(PagesGen.asDataFrame(spark, sf001), buckets), buckets)
+      .collect()
+      .map(r => r.url -> (r.content, r.note, r.error))
+      .toMap
+    assert(viaSpark.size == pages.length)
+    pages.foreach { p =>
+      val k = Clean.clean(p.url, p.html)
+      val (c, n, e) = viaSpark(p.url)
+      assert(c == k.content, s"content mismatch for ${p.url}")
+      assert(n == k.note && e == k.error, s"note/error mismatch for ${p.url}")
+    }
+  }
+
+  test("pid column is a deterministic pure function of url") {
+    val a = ExtractJob.withPid(PagesGen.asDataFrame(spark, sf001), 16)
+      .select("url", "pid").collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val b = ExtractJob.withPid(
+      PagesGen.asDataFrame(spark, sf001).repartition(3), 16)
+      .select("url", "pid").collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(a == b)
+    assert(a.values.forall(p => p >= 0 && p < 16))
+  }
+
+  test("lineage balances: sum(input_count)=rows, ok+fail=input, bytes match") {
+    val buckets = 8
+    val extracted = ExtractJob
+      .extract(ExtractJob.withPid(PagesGen.asDataFrame(spark, sf001), buckets), buckets)
+    val rows = ExtractJob.lineage(extracted, "t").collect()
+    assert(rows.map(_.input_count).sum == pages.length)
+    assert(rows.forall(r => r.ok_count + r.fail_count == r.input_count))
+    assert(rows.map(_.input_bytes).sum == pages.map(_.html.length.toLong).sum)
+    assert(rows.forall(_.run_id == "t"))
+  }
+
+  test("size cap short-circuits to an error row, not a task failure") {
+    val buckets = 4
+    val out = ExtractJob
+      .extract(ExtractJob.withPid(PagesGen.asDataFrame(spark, sf001), buckets),
+        buckets, maxHtmlBytes = 600)
+      .collect()
+    val capped = out.filter(_.note == "size-cap")
+    assert(capped.nonEmpty)
+    assert(capped.forall(r => r.error != null && r.content == null))
+    val l = ExtractJob.lineage(
+      ExtractJob.extract(
+        ExtractJob.withPid(PagesGen.asDataFrame(spark, sf001), buckets),
+        buckets, maxHtmlBytes = 600), "cap").collect()
+    assert(l.map(_.fail_count).sum == capped.length)
+    assert(l.filter(_.fail_count > 0).forall(_.failure_samples.nonEmpty))
+  }
+
+  test("checkpointed resume: kill-after-K, resume, no-op — full coverage, no dupes") {
+    val dir = Files.createTempDirectory("graft-resume").toString
+    val df = PagesGen.asDataFrame(spark, sf001)
+    ExtractJob.runToDir(spark, df, dir, "r1", 8, failAfterPids = 3)
+    val partial = spark.read.parquet(s"$dir/extracted")
+    val committed1 = spark.read.parquet(s"$dir/lineage")
+      .select("partition_id").distinct().count()
+    assert(committed1 == 3)
+    assert(partial.count() < pages.length)
+
+    ExtractJob.runToDir(spark, df, dir, "r1", 8)
+    val full = spark.read.parquet(s"$dir/extracted")
+    assert(full.count() == pages.length)
+    assert(full.select("url").distinct().count() == pages.length)
+    assert(spark.read.parquet(s"$dir/lineage")
+      .select("partition_id").distinct().count() == 8)
+
+    // third run: nothing pending → no duplicates, lineage unchanged
+    ExtractJob.runToDir(spark, df, dir, "r1", 8)
+    assert(spark.read.parquet(s"$dir/extracted").count() == pages.length)
+    assert(spark.read.parquet(s"$dir/lineage").count() == 8)
+  }
+
+  test("flagship entry returns rows with successful extraction") {
+    val rows = graft.SparkEntry.entry(spark).collect()
+    assert(rows.length == pages.length)
+    val byNote = rows.groupBy(_.getAs[String]("note"))
+    assert(byNote.keySet.contains("cleaned content"))
+    assert(rows.forall(_.getAs[String]("error") == ""))
+  }
+
+  test("byte-aware bucket count scales with corpus bytes") {
+    val df = PagesGen.asDataFrame(spark, sf001)
+    val p1 = ExtractJob.chooseBuckets(df, targetBytesPerBucket = 10000, minBuckets = 1)
+    val p2 = ExtractJob.chooseBuckets(df, targetBytesPerBucket = 20000, minBuckets = 1)
+    assert(p1 > p2)
+    val totalBytes = pages.map(_.html.length.toLong).sum
+    assert(p1 == math.ceil(totalBytes / 10000.0).toLong)
+  }
+}
