@@ -55,7 +55,20 @@ object SparkEntry {
       graft.ops.Multimodal.queries ++
       Map(
         "x1_extract" -> ((s: SparkSession, d: String) => extractQuery(s, d)),
-        "x2_extract_lineage" -> ((s: SparkSession, d: String) => lineageQuery(s, d)))
+        "x2_extract_lineage" -> ((s: SparkSession, d: String) => lineageQuery(s, d)),
+        "x3_extract_sql" -> ((s: SparkSession, d: String) => extractSqlQuery(s, d)))
+
+  /** Same kernel through the SQL surface (ExtractReadable expression):
+    * must agree with x1_extract row-for-row on (url, note, error, len).
+    */
+  def extractSqlQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.spark.ExtractReadable.register(spark)
+    PagesGen.asDataFrame(spark, sfDir).createOrReplaceTempView("graft_pages")
+    spark.sql(
+      """SELECT url, r.note AS note, coalesce(r.error, '') AS error,
+        |       CAST(coalesce(length(r.content), 0) AS BIGINT) AS content_len
+        |FROM (SELECT url, extract_readable(url, html) AS r FROM graft_pages)""".stripMargin)
+  }
 
   /** DuckDB oracles for every SQL-expressible query above; kernel-backed
     * (x*) and hash-seeded (t5/t6/t7/t9/t10/t11/t12) ops are rows-only.

@@ -42,28 +42,32 @@ object Dedup {
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep_id"))
 
   /** Distinct (doc_id, shingle) pairs; shingle = 3-token window (pure
-    * higher-order functions — codegen'd, no UDF).
+    * higher-order functions — no UDF). Tokens are materialized as a column
+    * FIRST so the per-shingle lambda reads an array instead of re-running
+    * split+filter per element (that nesting is O(tokens²) per document —
+    * measured 4× slower even at sf0.01).
     */
-  def shingleExpr: String =
-    """explode(array_distinct(CASE WHEN size(filter(split(text, '\\s+'), x -> x != '')) >= 3
-      |  THEN transform(sequence(0, size(filter(split(text, '\\s+'), x -> x != '')) - 3),
-      |       i -> concat(element_at(filter(split(text, '\\s+'), x -> x != ''), i + 1), ' ',
-      |                   element_at(filter(split(text, '\\s+'), x -> x != ''), i + 2), ' ',
-      |                   element_at(filter(split(text, '\\s+'), x -> x != ''), i + 3)))
-      |  ELSE array(array_join(filter(split(text, '\\s+'), x -> x != ''), ' ')) END))"""
-      .stripMargin.replace("\n", " ")
-
   def shingles(df: DataFrame): DataFrame =
-    df.selectExpr("doc_id", s"$shingleExpr AS shingle")
+    df.selectExpr("doc_id", "filter(split(text, '\\\\s+'), x -> x != '') AS toks")
+      .selectExpr("doc_id",
+        """explode(array_distinct(CASE WHEN size(toks) >= 3
+          |  THEN transform(sequence(0, size(toks) - 3),
+          |       i -> concat_ws(' ', slice(toks, i + 1, 3)))
+          |  ELSE array(concat_ws(' ', toks)) END)) AS shingle"""
+          .stripMargin.replace("\n", " "))
 
-  /** 64-hash MinHash signature per document. Seeded xxhash64 family:
-    * h_i(s) = xxhash64(i, s).
+  /** 64-hash MinHash signature per document. The shingle string is hashed
+    * ONCE to a 64-bit base (the expensive part), and the hash family is
+    * derived by re-hashing the base long with the function index:
+    * h_i(s) = xxhash64(i, xxhash64(s)) — 64 long-hashes instead of 64
+    * string-hashes per shingle.
     */
   def minhashSignatures(df: DataFrame): DataFrame = {
     val aggs: Seq[Column] = (0 until NumHashes).map { i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"h$i")
+      min(xxhash64(lit(i), col("hs"))).as(s"h$i")
     }
     shingles(df)
+      .withColumn("hs", xxhash64(col("shingle")))
       .groupBy(col("doc_id"))
       .agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"),

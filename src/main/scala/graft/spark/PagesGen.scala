@@ -93,9 +93,13 @@ $body
   /** Synthesize the `pages` Dataset from `<sfDir>/documents.parquet`. */
   def fromDocuments(spark: SparkSession, sfDir: String, repl: Int = 1): Dataset[Page] = {
     import spark.implicits._
+    // documents.parquet is a single small file (= one input split); without
+    // an explicit repartition the whole synthesis flatMap would run on one
+    // task and serialize the corpus build regardless of core count.
     val docs = spark.read
       .parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text", "lang")
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, String, String)]
     docs.flatMap { case (docId, text, lang) =>
       (0 until repl).iterator.map { r =>

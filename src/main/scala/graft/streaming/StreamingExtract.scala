@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.spark.{ExtractJob, ExtractedRow}
+
+/** Structured Streaming surfaces (SURVEY.md §2.10/§3.3):
+  *
+  *  - `extractStream`: the extraction kernel over a streaming `pages`
+  *    source (readStream → kernel → writeStream). Per-row, narrow, no
+  *    state — the batch job's pid column is kept so downstream lineage
+  *    aggregation works per micro-batch via foreachBatch + ExtractJob
+  *    .lineage.
+  *
+  *  - `adaptiveSchedule`: the reference's feed-polling state machine
+  *    (feed.py:45-46,171-179 ×0.9/×1.1 clamp [3600,259200] + last_fetch
+  *    bookkeeping, D7) as a `flatMapGroupsWithState` over a stream of
+  *    fetch outcomes — the canonical Spark shape for per-key adaptive
+  *    intervals.
+  */
+object StreamingExtract {
+
+  /** Streaming variant of ExtractJob.extract: same kernel, same row type.
+    * Input must be a streaming DataFrame with (url STRING, html BINARY).
+    */
+  def extractStream(
+      pages: DataFrame,
+      buckets: Int,
+      maxHtmlBytes: Int = ExtractJob.DefaultMaxHtmlBytes): Dataset[ExtractedRow] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages
+      .withColumn("pid", pmod(xxhash64(col("url")), lit(buckets)).cast("int"))
+      .select("url", "html", "pid")
+      .as[(String, Array[Byte], Int)]
+      .mapPartitions(_.map { case (url, html, pid) =>
+        ExtractJob.extractOne(url, html, pid, maxHtmlBytes, attempts = 2)
+      })
+  }
+
+  /** One fetch outcome observed on the stream. */
+  final case class FetchEvent(feed_url: String, fetch_time: Double, new_items: Int)
+
+  /** Per-feed polling state (models.py:35-36). */
+  final case class FeedState(lastFetchTime: Double, intervalSeconds: Double)
+
+  /** Updated schedule row emitted per event. */
+  final case class ScheduleRow(
+      feed_url: String,
+      last_fetch_time: Double,
+      interval_seconds: Double,
+      next_due: Double)
+
+  val MinInterval = 3600.0
+  val MaxInterval = 259200.0
+  val DefaultInterval = 14400.0
+
+  /** Pure transition (unit-testable; mirrors graft.kernel.FeedLogic
+    * updateInterval semantics).
+    */
+  def step(prev: Option[FeedState], ev: FetchEvent): FeedState = {
+    val cur = prev.map(_.intervalSeconds).getOrElse(DefaultInterval)
+    val scaled = if (ev.new_items > 0) cur * 0.9 else cur * 1.1
+    val clamped = math.min(math.max(scaled, MinInterval), MaxInterval)
+    FeedState(ev.fetch_time, clamped)
+  }
+
+  def adaptiveSchedule(events: Dataset[FetchEvent]): Dataset[ScheduleRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.feed_url)
+      .flatMapGroupsWithState[FeedState, ScheduleRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (feedUrl: String, evs: Iterator[FetchEvent], state: GroupState[FeedState]) =>
+          var cur = state.getOption
+          val out = evs.toSeq.sortBy(_.fetch_time).map { ev =>
+            val next = step(cur, ev)
+            cur = Some(next)
+            ScheduleRow(feedUrl, next.lastFetchTime, next.intervalSeconds,
+              next.lastFetchTime + next.intervalSeconds)
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
+}

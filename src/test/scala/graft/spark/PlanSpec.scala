@@ -1,0 +1,71 @@
+package graft.spark
+
+import java.nio.file.Files
+
+/** Physical-plan assertions (SURVEY.md §4): the scale posture is part of
+  * correctness — these specs pin the plans we want so a regression that
+  * adds a shuffle, drops a broadcast, or breaks filter pushdown fails CI.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("d5: dimension joins are broadcast (no shuffle on the fact side)") {
+    val p = plan(Relational.d5BroadcastJoin(spark, sf001))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("d6: filter is pushed into the parquet scan") {
+    val p = plan(Relational.d6SchedulingScan(spark, sf001))
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)]"),
+      s"pushdown missing in:\n$p")
+  }
+
+  test("d6: scan reads only needed columns (column pruning)") {
+    val p = plan(Relational.d6SchedulingScan(spark, sf001))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("event_id") && readSchema.contains("ts") &&
+      readSchema.contains("user_id") && readSchema.contains("event_type"))
+    assert(!readSchema.contains("props"), s"props not pruned: $readSchema")
+  }
+
+  test("extraction over a pages table has exactly one exchange (the pid repartition)") {
+    val dir = Files.createTempDirectory("graft-plan").toString
+    PagesGen.asDataFrame(spark, sf001).write.parquet(s"$dir/pages")
+    val pages = spark.read.parquet(s"$dir/pages")
+    val ds = ExtractJob.extract(ExtractJob.withPid(pages, 8), 8)
+    val exchanges = plan(ds.toDF())
+      .linesIterator.count(l => l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges == 1, s"expected exactly 1 shuffle, got $exchanges")
+  }
+
+  test("lineage aggregation is partial (map-side combine before the shuffle)") {
+    val dir = Files.createTempDirectory("graft-plan2").toString
+    PagesGen.asDataFrame(spark, sf001).write.parquet(s"$dir/pages")
+    val pages = spark.read.parquet(s"$dir/pages")
+    val lin = ExtractJob.lineage(
+      ExtractJob.extract(ExtractJob.withPid(pages, 8), 8), "p")
+    val p = plan(lin.toDF())
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"no partial aggregation in:\n$p")
+  }
+
+  test("resume bookkeeping never deserializes html blobs") {
+    // committedPids reads only (run_id, partition_id); simulate with a
+    // lineage table and verify the scan schema excludes wide columns.
+    val dir = Files.createTempDirectory("graft-plan3").toString
+    val s = spark
+    import s.implicits._
+    Seq(LineageRow("r", 1, 10, 100, 10, 0, Seq(), 5))
+      .toDS().write.parquet(s"$dir/lineage")
+    val df = spark.read.parquet(s"$dir/lineage")
+      .filter($"run_id" === "r").select("partition_id")
+    val readSchema = plan(df).linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("partition_id"))
+    assert(!readSchema.contains("failure_samples"),
+      s"wide column not pruned: $readSchema")
+  }
+}

@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.kernel.Clean
+import graft.spark.{Page, PagesGen, SparkSpec}
+import graft.streaming.StreamingExtract.{FetchEvent, FeedState}
+
+class StreamingSpec extends SparkSpec {
+
+  test("streaming extraction matches the kernel per micro-batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val source = MemoryStream[Page]
+    val pages = PagesGen.fromDocuments(spark, sf001).limit(30).collect()
+    source.addData(pages.toSeq)
+    val q = StreamingExtract.extractStream(source.toDF(), buckets = 8)
+      .writeStream.format("memory").queryName("ext_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("ext_out")
+      .select("url", "content", "note").collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(got.size == 30)
+    pages.foreach { p =>
+      val k = Clean.clean(p.url, p.html)
+      assert(got(p.url) == ((k.content, k.note)), s"mismatch ${p.url}")
+    }
+  }
+
+  test("adaptive schedule state machine: x0.9/x1.1 with clamping across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val source = MemoryStream[FetchEvent]
+    source.addData(
+      FetchEvent("f1", 1000.0, 5),  // 14400*0.9 = 12960
+      FetchEvent("f1", 2000.0, 0),  // 12960*1.1 = 14256
+      FetchEvent("f2", 1000.0, 0))  // 14400*1.1 = 15840
+    val q = StreamingExtract.adaptiveSchedule(source.toDS())
+      .writeStream.format("memory").queryName("sched_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val rows = spark.table("sched_out").as[StreamingExtract.ScheduleRow]
+      .collect().sortBy(r => (r.feed_url, r.last_fetch_time))
+    assert(rows.map(r => (r.feed_url, r.interval_seconds)).toSeq ==
+      Seq(("f1", 14400.0 * 0.9), ("f1", 14400.0 * 0.9 * 1.1), ("f2", 14400.0 * 1.1)))
+    assert(rows.last.next_due == 1000.0 + 14400.0 * 1.1)
+  }
+
+  test("pure transition clamps to [3600, 259200]") {
+    var st = FeedState(0.0, 4000.0)
+    st = StreamingExtract.step(Some(st), FetchEvent("f", 1.0, 3))
+    assert(st.intervalSeconds == 3600.0) // 4000*0.9=3600 exactly at floor
+    st = FeedState(0.0, 250000.0)
+    st = StreamingExtract.step(Some(st), FetchEvent("f", 1.0, 0))
+    assert(st.intervalSeconds == 259200.0) // 275000 clamped
+    assert(StreamingExtract.step(None, FetchEvent("f", 9.0, 1)) ==
+      FeedState(9.0, 12960.0))
+  }
+}
