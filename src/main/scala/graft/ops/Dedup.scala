@@ -75,8 +75,11 @@ object Dedup {
   }
 
   /** MinHash + LSH banding: near-dup pairs with estimated Jaccard ≥ th. */
-  def minhashLsh(spark: SparkSession, sfDir: String, th: Double = 0.5): DataFrame = {
-    val sig = minhashSignatures(docs(spark, sfDir))
+  def minhashLsh(spark: SparkSession, sfDir: String, th: Double = 0.5): DataFrame =
+    minhashLshOn(docs(spark, sfDir), th)
+
+  def minhashLshOn(docsDf: DataFrame, th: Double): DataFrame = {
+    val sig = minhashSignatures(docsDf)
     val banded = sig.selectExpr(
       "doc_id", "sig",
       s"""posexplode(transform(sequence(0, ${Bands - 1}),
@@ -155,8 +158,11 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard via the shared-shingle join. */
-  def ngramJaccard(spark: SparkSession, sfDir: String, th: Double = 0.05): DataFrame = {
-    val s = shingles(docs(spark, sfDir)).dropDuplicates("doc_id", "shingle")
+  def ngramJaccard(spark: SparkSession, sfDir: String, th: Double = 0.05): DataFrame =
+    ngramJaccardOn(docs(spark, sfDir), th)
+
+  def ngramJaccardOn(docsDf: DataFrame, th: Double): DataFrame = {
+    val s = shingles(docsDf).dropDuplicates("doc_id", "shingle")
     val sizes = s.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val common = s.select(col("doc_id").as("id_a"), col("shingle"))
       .join(s.select(col("doc_id").as("id_b"), col("shingle")), Seq("shingle"))
@@ -191,12 +197,57 @@ object Dedup {
       .filter(col("cosine") >= th)
   }
 
+  /** Composite dedup pipeline — the shape a real pretraining corpus pass
+    * takes: exact dedup first (cheap, kills the LSH skew floods), then
+    * MinHash+LSH candidates on the survivors, then exact n-gram Jaccard
+    * verification of candidates only, greedy min-id keeper. Output: one
+    * status row per document.
+    *
+    * Scale: stage 1 is one hash shuffle; stage 2 the signature groupBy +
+    * band join; stage 3 runs only on candidate pairs (broadcastable at
+    * realistic dup rates) — never an all-pairs product.
+    */
+  def dedupPipeline(spark: SparkSession, sfDir: String,
+      estTh: Double = 0.5, jaccardTh: Double = 0.8): DataFrame = {
+    val d = docs(spark, sfDir).select("doc_id", "text")
+    val groups = d.groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"))
+    val withKeeper = d
+      .withColumn("h", sha2(col("text"), 256))
+      .join(groups, "h")
+    val exactRemoved = withKeeper
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id"), lit("exact-dup").as("status"), col("keep_id").as("dup_of"))
+    val survivors = withKeeper
+      .filter(col("doc_id") === col("keep_id"))
+      .select("doc_id", "text")
+    val candidates = minhashLshOn(survivors, estTh).select("id_a", "id_b")
+    val verified = ngramJaccardOn(
+      survivors.join(
+        candidates.selectExpr("id_a AS doc_id")
+          .union(candidates.selectExpr("id_b AS doc_id")).distinct(),
+        Seq("doc_id")), th = jaccardTh)
+      .join(candidates, Seq("id_a", "id_b"), "left_semi")
+    val nearRemoved = verified
+      .select(greatest(col("id_a"), col("id_b")).as("doc_id"),
+        least(col("id_a"), col("id_b")).as("dup_of"))
+      .groupBy(col("doc_id")).agg(min(col("dup_of")).as("dup_of"))
+      .select(col("doc_id"), lit("near-dup").as("status"), col("dup_of"))
+    val removed = exactRemoved.unionByName(nearRemoved)
+    d.select("doc_id")
+      .join(removed, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit("kept").as("status"),
+        lit(null).cast("long").as("dup_of"))
+      .unionByName(removed)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_exact_dedup" -> ((s, d) => exact(s, d)),
     "t6_minhash_lsh" -> ((s, d) => minhashLsh(s, d)),
     "t7_simhash_dedup" -> ((s, d) => simhashDedup(s, d)),
     "t8_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
-    "t9_embed_cosine_dups" -> ((s, d) => embeddingCosine(s, d))
+    "t9_embed_cosine_dups" -> ((s, d) => embeddingCosine(s, d)),
+    "t13_dedup_pipeline" -> ((s, d) => dedupPipeline(s, d))
   )
 
   val oracles: Map[String, String] = Map(

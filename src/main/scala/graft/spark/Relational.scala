@@ -104,6 +104,30 @@ object Relational {
         round(least(greatest(col("value") * 3600.0, lit(3600.0)), lit(259200.0)), 4)
           .as("new_interval"))
 
+  /** D10 — first-seen upsert (main.py:63-66 + feed.py:151-159: unknown
+    * feed → create + update; known feed → refresh). MERGE INTO semantics
+    * expressed as a full outer join (Iceberg jars are absent in this
+    * sandbox; on Iceberg this is a literal MERGE INTO): target = customers
+    * of nations < 13, source = per-customer order rollup, so both the
+    * update and the insert branch carry rows.
+    */
+  def d10Upsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val target = table(spark, sfDir, "customer")
+      .filter(col("c_nationkey") < 13)
+      .select(col("c_custkey"), col("c_name"))
+    val source = table(spark, sfDir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), max(col("o_orderdate")).as("last_order"))
+    target.join(source, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("key"),
+        coalesce(col("c_name"), lit("NEW")).as("name"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        when(col("c_custkey").isNull, lit("insert"))
+          .when(col("o_custkey").isNull, lit("keep"))
+          .otherwise(lit("update")).as("action"))
+  }
+
   /** Lineage-style aggregate (north rule; SURVEY.md §2.10): the classic
     * grouped rollup shape used for per-partition lineage, run over
     * lineitem. Partial aggregation + 2 grouping cols → tiny shuffle.
@@ -149,6 +173,18 @@ object Relational {
       """SELECT event_id,
         |       round(least(greatest(value * 3600.0, 3600.0), 259200.0), 4) AS new_interval
         |FROM events""".stripMargin,
+    "d10_upsert" ->
+      """WITH target AS (SELECT c_custkey, c_name FROM customer WHERE c_nationkey < 13),
+        |source AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |                  max(o_orderdate) AS last_order
+        |           FROM orders GROUP BY o_custkey)
+        |SELECT coalesce(c_custkey, o_custkey) AS key,
+        |       coalesce(c_name, 'NEW') AS name,
+        |       coalesce(n_orders, 0) AS n_orders,
+        |       CASE WHEN c_custkey IS NULL THEN 'insert'
+        |            WHEN o_custkey IS NULL THEN 'keep'
+        |            ELSE 'update' END AS action
+        |FROM target FULL OUTER JOIN source ON c_custkey = o_custkey""".stripMargin,
     "q1_lineage_agg" ->
       """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n_rows,
         |       round(sum(l_quantity), 2) AS sum_qty,
@@ -165,6 +201,7 @@ object Relational {
     "d5_broadcast_join" -> ((s, d) => d5BroadcastJoin(s, d)),
     "d6_scheduling_scan" -> ((s, d) => d6SchedulingScan(s, d)),
     "d7_interval_clamp" -> ((s, d) => d7IntervalClamp(s, d)),
+    "d10_upsert" -> ((s, d) => d10Upsert(s, d)),
     "q1_lineage_agg" -> ((s, d) => q1LineageAgg(s, d))
   )
 }

@@ -107,6 +107,20 @@ class DedupSpec extends SparkSpec {
     assert(rows.contains((0L, 1L)) && rows.contains((1L, 0L)))
   }
 
+  test("composite dedup pipeline: exact then near, greedy min-id keeper") {
+    val rows = Dedup.dedupPipeline(spark, plantedDir, estTh = 0.5, jaccardTh = 0.8)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("status"), Option(r.get(2)).map(_.asInstanceOf[Long]))))
+      .toMap
+    assert(rows(0L) == (("kept", None)))
+    assert(rows(1L) == (("exact-dup", Some(0L))))
+    assert(rows(2L) == (("near-dup", Some(0L))))
+    assert(rows(3L) == (("kept", None)))
+    assert(rows(4L) == (("kept", None)))
+    assert(rows.size == 5)
+  }
+
   test("media features: deterministic stub decode with stable schema") {
     val rows = Multimodal.mediaFeatures(spark, sf001).collect()
     assert(rows.length == 500)
