@@ -352,22 +352,92 @@ object Patterns {
   type HitCounter =
     mutable.LinkedHashMap[(Double, String, String), mutable.ArrayBuffer[Elem]]
 
+  // ---- rule-engine acceleration (semantics-preserving) -------------------
+  // Most rules target the synthesized `classid`, whose distinct values per
+  // document are few (and usually ""), so per-document memoization turns
+  // O(nodes × rules) regex work into O(distinct classids × rules). The
+  // strip test is a pure any-match, so each attr's strip rules are also
+  // fused into one alternation Pattern (all rules share FLAGS). Point
+  // application stays per-rule (points, parent suppression and the
+  // hit_counter need rule identity); results are additive so grouping by
+  // attr does not change scores, and the false-positive undo is
+  // order-insensitive.
+  private val PointAttrOrder: Array[String] = AttrPoints.map(_._2).distinct
+  private val PointRulesByAttr: Map[String, Array[Int]] =
+    AttrPoints.indices.groupBy(i => AttrPoints(i)._2)
+      .map { case (k, v) => k -> v.toArray }
+  private val StripAttrOrder: Array[String] = AttrStrip.map(_._1).distinct
+  private val StripCombinedByAttr: Map[String, Pattern] =
+    AttrStrip.groupBy(_._1).map { case (attr, rules) =>
+      attr -> Pattern.compile(
+        rules.map(r => "(?:" + r._2.pattern + ")").mkString("|"), FLAGS)
+    }
+
+  /** Per-document evaluation context (memoization caches + hit counter). */
+  final class Ctx {
+    val hc: HitCounter = mutable.LinkedHashMap.empty
+    private val pointCache = new java.util.HashMap[String, Array[Int]]()
+    private val stripCache = new java.util.HashMap[String, java.lang.Boolean]()
+
+    /** Indices (into AttrPoints) of classid rules matching `value`. */
+    def classidPointMatches(value: String): Array[Int] = {
+      val got = pointCache.get(value)
+      if (got != null) return got
+      val idxs = PointRulesByAttr.getOrElse("classid", Array.empty[Int])
+        .filter(i => AttrPoints(i)._3.matcher(value).find())
+      pointCache.put(value, idxs)
+      idxs
+    }
+
+    /** Any classid strip rule matches `value`? */
+    def classidStripMatches(value: String): Boolean = {
+      val got = stripCache.get(value)
+      if (got != null) return got.booleanValue()
+      val m = StripCombinedByAttr("classid").matcher(value).find()
+      stripCache.put(value, java.lang.Boolean.valueOf(m))
+      m
+    }
+  }
+
   /** patterns.py:312-382 */
-  def score(tag: Elem, url: String, hc: HitCounter): Unit = {
+  def score(tag: Elem, url: String, ctx: Ctx): Unit = {
     if (tag.name == "body") return
 
     if (tag.name == "article") applyScore(tag, 10)
     else if (tag.name == "section") applyScore(tag, 1)
 
     // Point patterns (has_attr semantics — SURVEY.md §0.1).
-    for ((points, attr, pattern) <- AttrPoints) {
-      if (tag.hasAttr(attr) && pattern.matcher(tag.attr(attr)).find()) {
+    val hc = ctx.hc
+    for (attr <- PointAttrOrder) {
+      if (tag.hasAttr(attr)) {
+        val value = tag.attr(attr)
         val p = tag.parent
-        val parentMatch = p != null && p.hasAttr(attr) &&
-          pattern.matcher(p.attr(attr)).find()
-        if (!parentMatch) applyScore(tag, points)
-        val key = (points, attr, pattern.pattern)
-        hc.getOrElseUpdate(key, mutable.ArrayBuffer.empty) += tag
+        val parentHas = p != null && p.hasAttr(attr)
+        if (attr == "classid") {
+          val matched = ctx.classidPointMatches(value)
+          if (matched.nonEmpty) {
+            val parentMatched: Array[Int] =
+              if (parentHas) ctx.classidPointMatches(p.attr(attr))
+              else Array.emptyIntArray
+            for (i <- matched) {
+              val (points, _, pattern) = AttrPoints(i)
+              if (!parentMatched.contains(i)) applyScore(tag, points)
+              val key = (points, attr, pattern.pattern)
+              hc.getOrElseUpdate(key, mutable.ArrayBuffer.empty) += tag
+            }
+          }
+        } else {
+          for (i <- PointRulesByAttr(attr)) {
+            val (points, _, pattern) = AttrPoints(i)
+            if (pattern.matcher(value).find()) {
+              val parentMatch = parentHas &&
+                pattern.matcher(p.attr(attr)).find()
+              if (!parentMatch) applyScore(tag, points)
+              val key = (points, attr, pattern.pattern)
+              hc.getOrElseUpdate(key, mutable.ArrayBuffer.empty) += tag
+            }
+          }
+        }
       }
     }
 
@@ -416,7 +486,7 @@ object Patterns {
   }
 
   /** patterns.py:385-418 — returns true if the subtree was stripped. */
-  def stripTest(tag: Elem): Boolean = {
+  def stripTest(tag: Elem, ctx: Ctx): Boolean = {
     if (DoNotStripTags.contains(tag.name)) return false
 
     if (StripTags.contains(tag.name)) {
@@ -436,10 +506,17 @@ object Patterns {
       }
     }
 
-    for ((attr, pattern) <- AttrStrip) {
-      if (tag.hasAttr(attr) && pattern.matcher(tag.attr(attr)).find()) {
-        strip(tag)
-        return true
+    // Fused any-match per attr (strip has no per-rule identity to keep).
+    for (attr <- StripAttrOrder) {
+      if (tag.hasAttr(attr)) {
+        val v = tag.attr(attr)
+        val matched =
+          if (attr == "classid") ctx.classidStripMatches(v)
+          else StripCombinedByAttr(attr).matcher(v).find()
+        if (matched) {
+          strip(tag)
+          return true
+        }
       }
     }
     false
@@ -447,10 +524,10 @@ object Patterns {
 
   /** patterns.py:451-481 — the pre-order DFS + false-positive undo. */
   def process(root: Elem, url: String): Unit = {
-    val hc: HitCounter = mutable.LinkedHashMap.empty
-    processInner(root, url, hc)
+    val ctx = new Ctx
+    processInner(root, url, ctx)
     // False-positive undo (top run only).
-    for ((key, tags) <- hc if tags.length >= FalsePositiveThreshold) {
+    for ((key, tags) <- ctx.hc if tags.length >= FalsePositiveThreshold) {
       val (points, _, _) = key
       if (points >= 0) {
         for (tag <- tags) applyScore(tag, -1 * points)
@@ -458,15 +535,15 @@ object Patterns {
     }
   }
 
-  private def processInner(root: Elem, url: String, hc: HitCounter): Unit = {
+  private def processInner(root: Elem, url: String, ctx: Ctx): Unit = {
     // classid synthesis (patterns.py:454-457).
     val cls = separateWords(Option(root.attr("class")).getOrElse(""))
     val id = separateWords(Option(root.attr("id")).getOrElse(""))
     val classid = Py.strip(Py.strip(cls) + "!!!" + Py.strip(id), "!")
     root.setAttr("classid", classid)
 
-    score(root, url, hc)
-    if (stripTest(root)) return
-    for (tag <- root.childElems) processInner(tag, url, hc)
+    score(root, url, ctx)
+    if (stripTest(root, ctx)) return
+    for (tag <- root.childElems) processInner(tag, url, ctx)
   }
 }
