@@ -218,10 +218,14 @@ object Dedup {
     val exactRemoved = withKeeper
       .filter(col("doc_id") =!= col("keep_id"))
       .select(col("doc_id"), lit("exact-dup").as("status"), col("keep_id").as("dup_of"))
+    // survivors feeds three branches (candidates, verification, keep-list);
+    // cache so the exact-dedup stage isn't recomputed per branch (at real
+    // scale this is a persisted intermediate table)
     val survivors = withKeeper
       .filter(col("doc_id") === col("keep_id"))
       .select("doc_id", "text")
-    val candidates = minhashLshOn(survivors, estTh).select("id_a", "id_b")
+      .cache()
+    val candidates = minhashLshOn(survivors, estTh).select("id_a", "id_b").cache()
     val verified = ngramJaccardOn(
       survivors.join(
         candidates.selectExpr("id_a AS doc_id")
