@@ -26,14 +26,15 @@ object Similarity {
   def embeddings(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/embeddings.parquet")
 
-  private def withNorm(df: DataFrame): DataFrame =
+  private def withNorm(df: DataFrame): DataFrame = {
+    graft.spark.VectorExpressions.register(df.sparkSession)
     df.selectExpr("vec_id", "embedding",
-      "sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm")
+      "sqrt(float_vec_dot(embedding, embedding)) AS nrm")
+  }
 
+  // native codegen'd dot product (see graft.spark.FloatVecDot)
   private val CosineExpr =
-    """round(aggregate(zip_with(q_v, c_v, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-      | CAST(0.0 AS DOUBLE), (a, x) -> a + x) / (q_n * c_n), 4) AS cosine"""
-      .stripMargin.replace("\n", " ")
+    "round(float_vec_dot(q_v, c_v) / (q_n * c_n), 4) AS cosine"
 
   /** Exact top-k cosine neighbors for the first `numQueries` vec_ids. */
   def knnBruteForce(

@@ -75,8 +75,12 @@ object ExtractReadable {
 
 /** `--conf spark.sql.extensions=graft.spark.GraftExtensions` */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(
       (FunctionIdentifier("extract_readable"), ExtractReadable.info,
         ExtractReadable.builder))
+    ext.injectFunction(
+      (FunctionIdentifier("float_vec_dot"), VectorExpressions.info,
+        VectorExpressions.builder))
+  }
 }
