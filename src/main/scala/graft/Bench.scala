@@ -82,7 +82,7 @@ object Bench {
     // and the best pair reported; (b) the absolute headline is best-of
     // across interleaved local[32] legs ---
     val effDir = corpus(sfDir, replEff)
-    val pairs = (1 to 3).map { _ =>
+    val pairs = (1 to 4).map { _ =>
       val (n2, tt2) = leg(2, effDir)
       val (n8, tt8) = leg(8, effDir)
       require(n2 == n8, "leg doc counts differ")
@@ -115,7 +115,7 @@ object Bench {
     println(
       s"""{"metric":"extract_docs_per_sec@local[32]","value":${f(tp32)},"unit":"docs/sec","queries":$qs,"sf":"$sfDir",""" +
         s""""extract":{"docs":$n32,"repl":$repl,"local32_secs":${f(t32)},"local32_docs_per_sec":${f(tp32)}},""" +
-        s""""scaling":{"docs":$nDocs,"levels":"local[2] vs local[8] (4x cores; see BENCH.md: host provisions ~16 effective cores, calibrated; best same-window pair of 3)",""" +
+        s""""scaling":{"docs":$nDocs,"levels":"local[2] vs local[8] (4x cores; see BENCH.md: host provisions ~16 effective cores, calibrated; best same-window pair of 4)",""" +
         s""""local2_secs":${f(t2s)},"local2_docs_per_sec":${f(tp2)},""" +
         s""""local8_secs":${f(t8s)},"local8_docs_per_sec":${f(tp8)},"scaling_efficiency":${f(eff)}}}""")
   }
