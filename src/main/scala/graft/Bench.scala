@@ -36,9 +36,12 @@ object Bench {
     s
   }
 
+  /** Bump when PagesGen's output changes — keys the corpus cache. */
+  private val CorpusVersion = 1
+
   /** Materialize the replicated corpus once; cached across runs. */
   private def corpus(sfDir: String, repl: Int): String = {
-    val dir = s"/tmp/graft_bench_pages_${sfDir.replaceAll("[^0-9.]", "")}_x$repl"
+    val dir = s"/tmp/graft_bench_pages_v${CorpusVersion}_${sfDir.replaceAll("[^0-9.]", "")}_x$repl"
     if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
       val s = session(32)
       try PagesGen.asDataFrame(s, sfDir, repl)
