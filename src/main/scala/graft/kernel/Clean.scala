@@ -156,14 +156,39 @@ object Clean {
     if (ReImage.matcher(url).find()) return (url, imageTemplate(url), "image")
 
     // Feed-extraction path requires a live feed fetch — always falls through
-    // to content extraction in the batch engine (SURVEY.md §3.1/§7.6).
+    // to content extraction in the batch engine (SURVEY.md §3.1/§7.6) with
+    // the reference's note format (clean.py:152-161):
+    //   'cleaned content, <RssErrorClass>, <message>'
     val result = Extract.extractFromHtml(url, html)
     val content = Munge.munge(result.soup, result.selected, url)
-    val note = result.selected match {
-      case Extract.SelStr(_) => "cleaned content, string"
-      case _                 => "cleaned content"
-    }
-    (url, content, note)
+    (url, content, feedFallthroughNote(url, html))
+  }
+
+  private val ReGoogleFeedGuard =
+    Pattern.compile("^https?://(docs|spreadsheets)\\.google\\.", FLAGS)
+
+  /** The note the reference's _Clean records when FeedExtractor raises
+    * (clean.py:149-161, extract_feed.py:84-126): `'cleaned content, %s, %s'
+    * % (e.__class__.__name__, e)`. Batch determination (no network):
+    *   - 'reddit.com/' in url → bare RssError (clean.py:151; str(e) = '')
+    *   - docs/spreadsheets.google → UnsupportedRssError('skip google docs')
+    *   - no feed <link> in the html → NoRssError('no feed link')
+    *   - feed link present → the fetch can never happen in the batch
+    *     engine → NoRssError('could not download/parse feed') (the exact
+    *     error the reference raises when the feed URL yields no parse,
+    *     extract_feed.py:99 — the documented batch deviation is that this
+    *     branch is taken unconditionally instead of fetching).
+    */
+  def feedFallthroughNote(url: String, html: String): String = {
+    val (cls, msg) =
+      if (url.contains("reddit.com/")) ("RssError", "")
+      else if (ReGoogleFeedGuard.matcher(url).find())
+        ("UnsupportedRssError", "skip google docs")
+      else FeedLogic.rssLinkFromHtml(html) match {
+        case None    => ("NoRssError", "no feed link")
+        case Some(_) => ("NoRssError", "could not download/parse feed")
+      }
+    s"cleaned content, $cls, $msg"
   }
 
   /** Full per-row kernel: decode → route → extract → munge → wrap.

@@ -77,27 +77,122 @@ object FeedLogic {
     }
   }
 
-  /** third_party/autorss.py:18-42 — F1 feed link discovery: first
-    * <link rel=alternate type=application/(rss|atom)+xml href> before
-    * </head> or <body>.
+  /** third_party/autorss.py:18-42 — F1 feed link discovery, matching the
+    * reference's SGMLParser LinkParser semantics:
+    *   - scan tags in document order; STOP at `</head>` or `<body>`;
+    *   - a `<link>` whose attrs contain exactly rel="alternate" AND
+    *     type="application/rss+xml" or "application/atom+xml" ends the
+    *     scan (setnomoretags) whether or not it carries href — a matching
+    *     link without href yields NO feed (autorss returns '');
+    *   - comments and script/style content are not tag soup (SGMLParser
+    *     CDATA handling).
+    * Implemented as a single forward char scan over the raw html — the
+    * note path runs this per document, so it must not re-parse the DOM
+    * (head-prefix cost only, like autorss's BUFFERSIZE streaming).
     */
-  def detectFeedLink(html: String): Option[String] = {
-    val soup = HtmlParser.parse(html)
-    val it = soup.descendants
-    while (it.hasNext) {
-      it.next() match {
-        case e: Elem if e.name == "body" || e.name == "head" => () // scan on
-        case e: Elem if e.name == "link" =>
-          val rel = Option(e.attr("rel")).getOrElse("")
-          val typ = Option(e.attr("type")).getOrElse("")
-          if (rel.split(" ").contains("alternate") &&
-              (typ == "application/rss+xml" || typ == "application/atom+xml") &&
-              e.hasAttr("href"))
-            return Some(e.attr("href"))
-        case _ =>
+  def rssLinkFromHtml(html: String): Option[String] = {
+    val n = html.length
+    var i = 0
+    while (i < n) {
+      val lt = html.indexOf('<', i)
+      if (lt < 0) return None
+      if (html.startsWith("<!--", lt)) {
+        val end = html.indexOf("-->", lt + 4)
+        i = if (end < 0) n else end + 3
+      } else {
+        var p = lt + 1
+        val closing = p < n && html.charAt(p) == '/'
+        if (closing) p += 1
+        val nameStart = p
+        while (p < n && isNameChar(html.charAt(p))) p += 1
+        val name = html.substring(nameStart, p).toLowerCase(java.util.Locale.ROOT)
+        if (name.isEmpty) { i = lt + 1 }
+        else {
+          // find tag end, honoring quoted attribute values
+          var q = p
+          var inQ: Char = 0
+          while (q < n && (inQ != 0 || html.charAt(q) != '>')) {
+            val c = html.charAt(q)
+            if (inQ == 0 && (c == '"' || c == '\'')) inQ = c
+            else if (inQ != 0 && c == inQ) inQ = 0
+            q += 1
+          }
+          val tagEnd = math.min(q, n)
+          if (!closing && name == "link") {
+            val attrs = parseAttrs(html, p, tagEnd)
+            val matches = attrs.contains(("rel", "alternate")) &&
+              (attrs.contains(("type", "application/rss+xml")) ||
+                attrs.contains(("type", "application/atom+xml")))
+            if (matches) // setnomoretags: scan ends here, href or not
+              return attrs.collectFirst { case ("href", v) => v }
+          } else if ((!closing && name == "body") || (closing && name == "head")) {
+            return None
+          } else if (!closing && (name == "script" || name == "style")) {
+            val close = indexOfIgnoreCase(html, "</" + name, tagEnd)
+            i = if (close < 0) n else close
+            // continue; the </script> tag itself is consumed next round
+          }
+          if (!(!closing && (name == "script" || name == "style")))
+            i = tagEnd + 1
+        }
       }
     }
     None
+  }
+
+  private def isNameChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || c == '-' || c == ':'
+
+  private def indexOfIgnoreCase(s: String, needle: String, from: Int): Int = {
+    var i = math.max(from, 0)
+    val last = s.length - needle.length
+    while (i <= last) {
+      if (s.regionMatches(true, i, needle, 0, needle.length)) return i
+      i += 1
+    }
+    -1
+  }
+
+  private val ReAttr = Pattern.compile(
+    """([a-zA-Z][a-zA-Z0-9_:.-]*)\s*(?:=\s*("[^"]*"|'[^']*'|[^\s>]*))?""")
+
+  /** SGMLParser-style attribute list: names lowercased, values unquoted
+    * with the standard entity/charref replacement.
+    */
+  private def parseAttrs(html: String, from: Int, to: Int): List[(String, String)] = {
+    val m = ReAttr.matcher(html).region(from, to)
+    val out = List.newBuilder[(String, String)]
+    while (m.find()) {
+      val name = m.group(1).toLowerCase(java.util.Locale.ROOT)
+      val raw = Option(m.group(2)).getOrElse(name) // minimized attr → value = name
+      val v =
+        if (raw.length >= 2 &&
+            (raw.charAt(0) == '"' || raw.charAt(0) == '\'') &&
+            raw.charAt(raw.length - 1) == raw.charAt(0))
+          raw.substring(1, raw.length - 1)
+        else raw
+      out += name -> unescapeBasic(v)
+    }
+    out.result()
+  }
+
+  /** sgmllib's attribute entity replacement: the five named refs + charrefs. */
+  private def unescapeBasic(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    Pattern.compile("&(#\\d+|#[xX][0-9a-fA-F]+|amp|lt|gt|quot|apos);")
+      .matcher(s)
+      .replaceAll { mr =>
+        val g = mr.group(1)
+        val repl = g match {
+          case "amp" => "&"; case "lt" => "<"; case "gt" => ">"
+          case "quot" => "\""; case "apos" => "'"
+          case _ if g.startsWith("#x") || g.startsWith("#X") =>
+            Integer.parseInt(g.substring(2), 16).toChar.toString
+          case _ => Integer.parseInt(g.substring(1)).toChar.toString
+        }
+        java.util.regex.Matcher.quoteReplacement(repl)
+      }
   }
 
   /** feed.py:142-148 — D1 entry key: base64(sha256(utf8(id or link))). */

@@ -100,10 +100,12 @@ object ExtractJob {
           val c = Clean.clean(url, if (html == null) Array.emptyByteArray else html)
           out = done(c.content, c.note, c.error)
         } catch {
-          case e: Throwable if attempt >= attempts =>
+          // NonFatal only: OutOfMemoryError/LinkageError must fail the task,
+          // not be laundered into a per-row error (ADVICE r01).
+          case scala.util.control.NonFatal(e) if attempt >= attempts =>
             val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
             out = done(null, "kernel-failure", msg)
-          case _: Throwable => // retry
+          case scala.util.control.NonFatal(_) => // retry
         }
       }
       out
@@ -140,7 +142,33 @@ object ExtractJob {
       .as[LineageRow]
   }
 
-  /** Committed pids for a run (from the lineage table), for resume. */
+  /** Committed (distinct) pids of a run as a one-column DataFrame — the
+    * resume filter is a broadcast LEFT ANTI join against this (the D2
+    * pattern), NEVER a collect+isin: at maxBuckets = 2^20 an In-list is a
+    * million-term driver-side expression (VERDICT r01 "what's wrong" #3).
+    * Returns None when the lineage table does not exist yet (first run).
+    * Other read errors PROPAGATE — treating a corrupt/unreadable lineage
+    * table as "no progress" would silently re-run the world (ADVICE r01).
+    */
+  def committedPidsDf(
+      spark: SparkSession, lineagePath: String, runId: String): Option[DataFrame] = {
+    if (!new java.io.File(lineagePath).exists()) return None
+    try {
+      Some(spark.read.parquet(lineagePath)
+        .filter(col("run_id") === runId)
+        .select(col("partition_id").cast("int").as("pid"))
+        .distinct())
+    } catch {
+      // parquet dir exists but holds no readable footers yet (crash before
+      // first lineage commit): schema inference fails → genuinely no progress
+      case _: org.apache.spark.sql.AnalysisException => None
+    }
+  }
+
+  /** Committed pids for a run (from the lineage table) collected to the
+    * driver — ONLY for the bounded test paths (failAfterPids simulation,
+    * CLI reporting), never the resume filter itself.
+    */
   def committedPids(lineageDf: DataFrame, runId: String): Set[Int] =
     lineageDf
       .filter(col("run_id") === runId)
@@ -166,18 +194,23 @@ object ExtractJob {
       buckets: Int,
       maxHtmlBytes: Int = DefaultMaxHtmlBytes,
       failAfterPids: Int = Int.MaxValue): Unit = {
-    import spark.implicits._
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val lineagePath = s"$outDir/lineage"
-    val committed: Set[Int] =
-      try committedPids(spark.read.parquet(lineagePath), runId)
-      catch { case _: Throwable => Set.empty }
+    val committedDf = committedPidsDf(spark, lineagePath, runId)
 
     val withP = withPid(pages, buckets)
-    val pending = withP.filter(!col("pid").isin(committed.toSeq: _*))
+    // Resume filter: broadcast left_anti on the committed-pid set (same
+    // shape as D2 dedup, Relational.scala). The committed side is at most
+    // `buckets` ints — broadcastable by construction at any corpus size.
+    val pending = committedDf match {
+      case Some(c) => withP.join(broadcast(c), Seq("pid"), "left_anti")
+      case None    => withP
+    }
     val scope =
       if (failAfterPids == Int.MaxValue) pending
       else {
+        // test-only kill simulation: bounded isin over ≤failAfterPids ints
+        val committed = committedDf
+          .map(_.collect().map(_.getInt(0)).toSet).getOrElse(Set.empty)
         val keep = (0 until buckets)
           .filterNot(committed.contains)
           .take(failAfterPids)
@@ -185,13 +218,26 @@ object ExtractJob {
       }
 
     val extracted = extract(scope, buckets, maxHtmlBytes).cache()
-    extracted.write
-      .mode(SaveMode.Overwrite)
-      .partitionBy("pid")
-      .parquet(s"$outDir/extracted")
-    // lineage commits LAST: a pid is "done" only once its lineage row exists,
-    // so a crash between the two writes re-runs (and re-overwrites) the pid.
-    lineage(extracted, runId).write.mode(SaveMode.Append).parquet(lineagePath)
-    extracted.unpersist()
+    val prevOverwriteMode =
+      spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      extracted.write
+        .mode(SaveMode.Overwrite)
+        .partitionBy("pid")
+        .parquet(s"$outDir/extracted")
+      // lineage commits LAST: a pid is "done" only once its lineage row
+      // exists, so a crash between the two writes re-runs (and
+      // re-overwrites) the pid.
+      lineage(extracted, runId).write.mode(SaveMode.Append).parquet(lineagePath)
+    } finally {
+      prevOverwriteMode match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None =>
+          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      extracted.unpersist()
+    }
   }
 }

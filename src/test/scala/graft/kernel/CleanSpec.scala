@@ -121,6 +121,45 @@ class CleanSpec extends AnyFunSuite {
     assert(bad.error != null && bad.note == "error")
   }
 
+  test("note fidelity: reference 'cleaned content, <RssError>, <msg>' format") {
+    val body = "<p>" + ("Plenty of readable prose for the scorer here. " * 8) + "</p>"
+    // no feed link anywhere → NoRssError('no feed link')
+    val r1 = clean("http://x.test/a", s"<html><head></head><body>$body</body></html>")
+    assert(r1.note == "cleaned content, NoRssError, no feed link")
+    // feed link in head → batch engine cannot fetch → could not download/parse
+    val r2 = clean("http://x.test/a",
+      "<html><head><link rel=\"alternate\" type=\"application/rss+xml\" href=\"/feed.xml\"></head>" +
+        s"<body>$body</body></html>")
+    assert(r2.note == "cleaned content, NoRssError, could not download/parse feed")
+    // reddit short-circuit (clean.py:151) — bare RssError, empty message
+    val r3 = clean("http://old.reddit.com/r/scala/xyz", s"<html><body>$body</body></html>")
+    assert(r3.note == "cleaned content, RssError, ")
+    // docs.google without docid → UnsupportedRssError (extract_feed.py:84)
+    val r4 = clean("http://docs.google.com/something", s"<html><body>$body</body></html>")
+    assert(r4.note == "cleaned content, UnsupportedRssError, skip google docs")
+  }
+
+  test("autorss feed-link scan: head-scoped, first match, SGML quirks") {
+    import FeedLogic.rssLinkFromHtml
+    val rss = "<link rel=\"alternate\" type=\"application/rss+xml\" href=\"/f.xml\">"
+    assert(rssLinkFromHtml(s"<html><head>$rss</head><body></body>") == Some("/f.xml"))
+    // link AFTER </head> or <body> is invisible (setnomoretags)
+    assert(rssLinkFromHtml(s"<html><head></head>$rss") == None)
+    assert(rssLinkFromHtml(s"<html><body>$rss") == None)
+    // matching link WITHOUT href ends the scan with no feed (autorss '')
+    assert(rssLinkFromHtml(
+      "<head><link rel=\"alternate\" type=\"application/rss+xml\">" + rss + "</head>") == None)
+    // rel/type must match exactly; atom accepted; attr entity unescape
+    assert(rssLinkFromHtml(
+      "<head><link rel=\"alternate\" type=\"application/atom+xml\" href=\"/a?x=1&amp;y=2\"></head>")
+      == Some("/a?x=1&y=2"))
+    assert(rssLinkFromHtml(
+      "<head><link rel=\"stylesheet\" type=\"application/rss+xml\" href=\"/f\"></head>") == None)
+    // comments and script content are not tag soup
+    assert(rssLinkFromHtml(s"<head><!-- $rss --><script>var a = '$rss';</script></head>") == None)
+    assert(rssLinkFromHtml(s"<head><script>x='</'+'head>'</script>$rss</head>") == Some("/f.xml"))
+  }
+
   test("reddit comments path via strainer") {
     val html =
       "<html><body><div class=\"junk\">drop</div>" +

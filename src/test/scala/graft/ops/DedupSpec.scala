@@ -81,14 +81,19 @@ class DedupSpec extends SparkSpec {
     assert(!rows.keySet.exists { case (a, b) => b == 3L || a == 3L })
   }
 
-  test("embedding cosine near-dup finds the planted near-identical pairs") {
-    val rows = Dedup.embeddingCosine(spark, plantedDir, th = 0.95)
+  test("embedding cosine near-dup ranks the planted near-identical pairs first") {
+    val all = Dedup.embeddingCosine(spark, plantedDir, topPairs = 100)
       .collect()
-      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("cosine"))
-      .toMap
-    assert(rows.contains((0L, 1L)) && rows((0L, 1L)) > 0.99)
-    assert(rows.contains((3L, 4L)))
-    assert(!rows.keySet.exists { case (a, b) => Set(0L, 1L, 2L).contains(a) && Set(3L, 4L).contains(b) })
+      .sortBy(_.getAs[Long]("rank"))
+    assert(all.nonEmpty) // rank-based output is never vacuous
+    assert(all.length == 10) // C(5,2) pairs, all ranked
+    val top2 = all.take(2)
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // the two noise-0.01 planted twins outrank everything else
+    assert(top2 == Set((0L, 1L), (3L, 4L)))
+    assert(all.take(2).forall(_.getAs[Double]("cosine") > 0.99))
+    // bounded output: topPairs caps the result set
+    assert(Dedup.embeddingCosine(spark, plantedDir, topPairs = 3).count() == 3)
   }
 
   test("knn brute force: nearest neighbor of vec 0 is its planted twin") {

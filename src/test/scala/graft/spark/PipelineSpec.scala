@@ -94,7 +94,7 @@ class PipelineSpec extends SparkSpec {
     val rows = graft.SparkEntry.entry(spark).collect()
     assert(rows.length == pages.length)
     val byNote = rows.groupBy(_.getAs[String]("note"))
-    assert(byNote.keySet.contains("cleaned content"))
+    assert(byNote.keySet.exists(_.startsWith("cleaned content, ")))
     assert(rows.forall(_.getAs[String]("error") == ""))
   }
 

@@ -20,7 +20,14 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(r[i] for i in order) for r in rows]
-    return sorted(cols), sorted(out, key=lambda r: tuple(str(x) for x in r))
+    # Sort key: floats rounded to the compared precision so values that
+    # differ only within tolerance cannot sort rows into different
+    # positions on the Spark vs DuckDB side (ADVICE r01).
+    def key_cell(x):
+        if isinstance(x, float):
+            return f"{x:.9g}"
+        return str(x)
+    return sorted(cols), sorted(out, key=lambda r: tuple(key_cell(x) for x in r))
 
 def eq(a, b):
     if isinstance(a, float) or isinstance(b, float):
