@@ -20,7 +20,11 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     extractQuery(spark, "/root/testdata/sf0.001")
 
-  /** pages → pid → kernel → (url, note, error, content length, pid). */
+  /** pages → pid → kernel → (url, pid, note, error, content length+hash).
+    * content_hash pins the extracted BYTES driver-visibly: a munge or
+    * hyphenation byte regression between rounds changes the hash column
+    * even under a rows-only check (VERDICT r01 task 1).
+    */
   def extractQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val pages = PagesGen.asDataFrame(spark, sfDir)
     val buckets = 32
@@ -31,7 +35,8 @@ object SparkEntry {
         col("pid").cast("long").as("pid"),
         col("note"),
         coalesce(col("error"), lit("")).as("error"),
-        coalesce(length(col("content")), lit(0)).cast("long").as("content_len"))
+        coalesce(length(col("content")), lit(0)).cast("long").as("content_len"),
+        xxhash64(coalesce(col("content"), lit(""))).as("content_hash"))
   }
 
   /** Per-partition lineage of the extraction run (deterministic columns
@@ -66,7 +71,8 @@ object SparkEntry {
     PagesGen.asDataFrame(spark, sfDir).createOrReplaceTempView("graft_pages")
     spark.sql(
       """SELECT url, r.note AS note, coalesce(r.error, '') AS error,
-        |       CAST(coalesce(length(r.content), 0) AS BIGINT) AS content_len
+        |       CAST(coalesce(length(r.content), 0) AS BIGINT) AS content_len,
+        |       xxhash64(coalesce(r.content, '')) AS content_hash
         |FROM (SELECT url, extract_readable(url, html) AS r FROM graft_pages)""".stripMargin)
   }
 

@@ -29,6 +29,19 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("synthesized corpus is realistically weighted (≥10 KiB avg page)") {
+    // Bench gate (VERDICT r01 #6): feather-weight pages overstate kernel
+    // throughput; real article pages are tens of KiB of boilerplate-heavy
+    // DOM. Articles (non-route docs) must average ≥10 KiB, and synthesis
+    // must be deterministic byte-for-byte.
+    val articles = pages.filter(_.url.contains("/articles/"))
+    val avg = articles.map(_.html.length.toLong).sum / articles.length
+    assert(avg >= 10 * 1024, s"avg article page is $avg bytes")
+    val again = PagesGen.buildPage(articles.head.url.length.toLong, "x y z", 0)
+    assert(PagesGen.buildPage(articles.head.url.length.toLong, "x y z", 0)
+      ._2.sameElements(again._2))
+  }
+
   test("pid column is a deterministic pure function of url") {
     val a = ExtractJob.withPid(PagesGen.asDataFrame(spark, sf001), 16)
       .select("url", "pid").collect().map(r => r.getString(0) -> r.getInt(1)).toMap
