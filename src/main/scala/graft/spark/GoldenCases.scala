@@ -1,0 +1,274 @@
+package graft.spark
+
+/** Authored golden fixture registry (FIXTURES.md §3, VERDICT r01 task 1):
+  * per-rule end-to-end pages for the highest-traffic ATTR_POINTS /
+  * ATTR_STRIP rules (`patterns.py:48-231`), the munge passes M1-M13
+  * (`clean.py:193-241`), URL routes, and degenerate inputs. Each case is a
+  * full page run through `Clean.clean`; the frozen byte-golden under
+  * `src/test/resources/golden/expected/` is the contract, and
+  * `mustContain`/`mustNotContain` markers make the INTENT of each case
+  * machine-checkable (GoldenSpec asserts both).
+  *
+  * Marker conventions: winner text carries `zw1`, loser/junk text carries
+  * `jnk` — both ≤3 chars so the hyphenation pass (M11) can never split
+  * them and fake a pass/fail.
+  *
+  * Case files are materialized by `GoldenCasesGenCli` (writes cases/ +
+  * index.tsv + expected/) — run deliberately, diff before committing.
+  */
+object GoldenCases {
+
+  final case class GCase(
+      name: String,
+      url: String,
+      bytes: Array[Byte],
+      mustContain: Seq[String] = Nil,
+      mustNotContain: Seq[String] = Nil)
+
+  private def c(name: String, url: String, html: String,
+      mustContain: Seq[String] = Nil, mustNotContain: Seq[String] = Nil): GCase =
+    GCase(name, url, html.getBytes("UTF-8"), mustContain, mustNotContain)
+
+  /** Two texts of identical length: only rule points can tip the vote.
+    * Winner text carries zw1; loser text zl0 (same char counts).
+    */
+  private val WinText =
+    "The vote should land on this div because rule points tip it zw1 way, and there is enough prose here to clear every leaf block threshold comfortably."
+  private val LoseText =
+    "The vote should land on that div because rule points tip it zl0 way, and there is enough prose here to clear every leaf block threshold comfortably."
+
+  private def threeParas(text: String): String =
+    s"<p>$text</p>\n<p>$text</p>\n<p>$text</p>"
+
+  private def page(body: String): String =
+    s"<html>\n<head><title>fixture</title></head>\n<body>\n$body\n</body>\n</html>\n"
+
+  /** A/B page for a POSITIVE points rule: the ruled div comes FIRST, so
+    * without the boost the doc-order-last tie-break would pick the plain
+    * div — the ruled div winning proves the boost moved selection.
+    */
+  private def boostCase(name: String, ruleClass: String): GCase =
+    c(s"points_$name", s"http://fixtures.test/points/$name",
+      page(
+        s"""<div class="$ruleClass">\n${threeParas(WinText)}\n</div>\n<div class="plain">\n${threeParas(LoseText)}\n</div>"""),
+      mustContain = Seq("zw1"), mustNotContain = Seq("zl0"))
+
+  /** A/B page for a NEGATIVE points rule: the penalized div comes LAST, so
+    * without the penalty the tie-break would pick it — the plain div
+    * winning proves the penalty moved selection.
+    */
+  private def penaltyCase(name: String, ruleClass: String): GCase =
+    c(s"points_$name", s"http://fixtures.test/points/$name",
+      page(
+        s"""<div class="plain">\n${threeParas(WinText)}\n</div>\n<div class="$ruleClass">\n${threeParas(LoseText)}\n</div>"""),
+      mustContain = Seq("zw1"), mustNotContain = Seq("zl0"))
+
+  /** Page for an ATTR_STRIP rule: junk node with the matching attr inside
+    * a +20 storyblock winner; the junk must be gone from the output.
+    */
+  private def stripCase(name: String, junkTag: String): GCase =
+    c(s"strip_$name", s"http://fixtures.test/strip/$name",
+      page(
+        s"""<div class="storyblock">\n<p>$WinText</p>\n$junkTag\n<p>$WinText</p>\n</div>"""),
+      mustContain = Seq("zw1"), mustNotContain = Seq("jnk"))
+
+  private def stripClassCase(name: String, ruleClass: String): GCase =
+    stripCase(name, s"""<div class="$ruleClass"><p>this jnk block must be stripped</p></div>""")
+
+  // ------------------------------------------------------------- points/
+
+  val pointsCases: Seq[GCase] = Seq(
+    boostCase("story_whole", "story"),         // +10 _ReWhole story
+    boostCase("entry_word", "entry"),          // +10 _ReWord entry
+    boostCase("hentry", "hentry"),             // +12 _ReWhole h?entry
+    boostCase("storyblock", "storyblock"),     // +20 _ReWhole story(body|block)
+    boostCase("articlecopy", "articlecopy"),   // +10 _ReAny ^(article|kona) ?(body|copy)
+    penaltyCase("side_whole", "side"),         // -15 _ReWhole side
+    penaltyCase("twitter_word", "twitter box"),// -15 _ReWord twitter
+    penaltyCase("overlay_word", "overlay"),    // -10 _ReWord overlay
+    penaltyCase("email_word", "email"),        // -15 _ReWord email
+    penaltyCase("menu_any", "menucontainer"),  // -5 _ReAny menu
+    // -5 rel=tag on an anchor, decayed into its container; both divs carry
+    // an equal-text anchor so link text length cancels out
+    c("points_reltag", "http://fixtures.test/points/reltag",
+      page(
+        s"""<div class="plain">\n${threeParas(WinText)}\n<a href="/t/y">taglink</a>\n</div>\n<div class="plain2">\n${threeParas(LoseText)}\n<a rel="tag" href="/t/x">taglink</a>\n</div>"""),
+      mustContain = Seq("zw1"), mustNotContain = Seq("zl0")),
+    // -3 href ^javascript: ; both divs carry 3 out-of-domain anchors (+1
+    // each) so only the javascript: penalty differs — 3 anchors keep the
+    // divs' scores above <body>'s both-sides aggregation
+    c("points_jshref", "http://fixtures.test/points/jshref",
+      page(
+        s"""<div class="plain">\n${threeParas(WinText)}\n<a href="http://other.test/x">extlink</a> <a href="http://other.test/y">extlink</a> <a href="http://other.test/z">extlink</a>\n</div>\n<div class="plain2">\n${threeParas(LoseText)}\n<a href="javascript:void(0)">extlink</a> <a href="javascript:void(1)">extlink</a> <a href="javascript:void(2)">extlink</a>\n</div>"""),
+      mustContain = Seq("zw1"), mustNotContain = Seq("zl0")),
+    // C4 parent suppression: inner div's identical classid match must NOT
+    // double-apply (the outer still wins; frozen score pins the arithmetic)
+    c("points_parent_suppress", "http://fixtures.test/points/parent_suppress",
+      page(
+        s"""<div class="story">\n<div class="story">\n${threeParas(WinText)}\n</div>\n</div>\n<div class="plain">\n${threeParas(LoseText)}\n</div>"""),
+      mustContain = Seq("zw1"), mustNotContain = Seq("zl0"))
+  )
+
+  // -------------------------------------------------------------- strip/
+
+  val stripCases: Seq[GCase] = Seq(
+    stripClassCase("comment_word", "comment"),
+    stripClassCase("nav_word", "nav"),
+    stripClassCase("sidebar_whole", "sidebar2"),
+    stripClassCase("share_whole", "share"),
+    stripClassCase("social_word", "social"),
+    stripClassCase("widget_word", "widget"),
+    stripClassCase("byline_word", "byline"),
+    stripClassCase("related_word", "related3"),
+    stripClassCase("hidden_word", "hidden"),
+    stripClassCase("breadcrumb_whole", "breadcrumb"),
+    stripClassCase("authorbox_word", "authorbox"),
+    stripCase("display_none",
+      """<div style="display: none"><p>this jnk block must be stripped</p></div>"""),
+    stripCase("doubleclick_src",
+      """<img src="http://ad.doubleclick.net/jnk.gif" width="300" height="250">"""),
+    stripCase("feedads_href",
+      """<a href="http://feedads.g.doubleclick.net/jnk">jnk feed ad</a>""")
+  )
+
+  // -------------------------------------------------------------- munge/
+
+  private def mungePage(name: String, inner: String,
+      mustContain: Seq[String] = Nil, mustNotContain: Seq[String] = Nil): GCase =
+    c(s"munge_$name", s"http://fixtures.test/munge/$name",
+      page(s"""<div class="storyblock">\n$inner\n</div>"""),
+      mustContain, mustNotContain)
+
+  val mungeCases: Seq[GCase] = Seq(
+    // M2: the <br> directly after each <p> is stripped (exactly one per p
+    // — clean.py:281-285 checks findNextSibling once, not repeatedly)
+    mungePage("br_after_p",
+      s"<p>$WinText</p><br>\n<p>$WinText</p><br>",
+      mustContain = Seq("zw1"), mustNotContain = Seq("<br")),
+    // M3: a trailing <hr> (true last child) is stripped; an interior one
+    // is kept. NB a trailing whitespace TEXT node shields the hr — the
+    // reference's AttributeError guard (clean.py:327-332) stops at any
+    // non-tag — so the hr here sits hard against </div>.
+    c("munge_trailing_hr", "http://fixtures.test/munge/trailing_hr",
+      page(s"""<div class="storyblock"><p>$WinText</p>\n<hr>\n<p>$WinText</p><hr></div>"""),
+      mustContain = Seq("zw1", "<hr/>"),
+      mustNotContain = Seq("<hr/></div>", "<hr/> </div>")),
+    // M4: empty-strip cascade removes the hollow wrapper chain
+    mungePage("empty_cascade",
+      s"<p>$WinText</p>\n<div><span> </span></div>\n<p>$WinText</p>",
+      mustContain = Seq("zw1"), mustNotContain = Seq("<span")),
+    // M5: a winner that is a bare wrapper descends to its only child
+    mungePage("root_descent",
+      s"""<div class="innerwrap">\n<p>$WinText</p>\n<p>$WinText</p>\n</div>""",
+      mustContain = Seq("zw1")),
+    // M6: child subtree scored ≤ -2 (class=print, -10) is stripped
+    mungePage("score_neg2",
+      s"""<p>$WinText</p>\n<div class="print"><p>jnk low scored child block</p></div>\n<p>$WinText</p>""",
+      mustContain = Seq("zw1"), mustNotContain = Seq("jnk")),
+    // M7: event-handler attrs stripped; 'onchange' SURVIVES (the
+    // reference's STRIP_ATTRS has the key 'onchange ' with a trailing
+    // space — clean.py quirk, replicated bit-for-bit)
+    mungePage("attr_strip",
+      s"""<p onclick="evil()" onchange="kept()" onmouseover="evil2()">$WinText</p>\n<p>$WinText</p>""",
+      mustContain = Seq("zw1", "onchange=\"kept()\""),
+      mustNotContain = Seq("onclick", "onmouseover")),
+    // M8: relative href/src absolutized against the final url
+    mungePage("absolutize",
+      s"""<p>$WinText</p>\n<p><a href="sub/rel.html">rel link text</a> <img src="../img/pic.jpg" width="640" height="480" alt="x"></p>\n<p>$WinText</p>""",
+      mustContain = Seq(
+        "href=\"http://fixtures.test/munge/sub/rel.html\"",
+        "src=\"http://fixtures.test/img/pic.jpg\"")),
+    // M9: aligned images get the align attribute from style/class
+    mungePage("img_align",
+      s"""<p>$WinText</p>\n<img src="/i/a.jpg" style="float: right" width="640" height="480" alt="y">\n<p>$WinText</p>""",
+      mustContain = Seq("align=\"right\"")),
+    // M10: headers downgrade by 2 (h2→h4), capped at h6 (h5→h6)
+    mungePage("header_downgrade",
+      s"""<h2>Part One</h2>\n<p>$WinText</p>\n<h5>Part Two</h5>\n<p>$WinText</p>""",
+      mustContain = Seq("<h4>", "<h6>"),
+      mustNotContain = Seq("<h2>", "<h5>")),
+    // M11: Liang exceptions — as-so-ciate and ta-ble hyphenate at the
+    // exception points; 'project' is an exception with NO break points
+    mungePage("hyphen_exceptions",
+      s"""<p>$WinText</p>\n<p>The associate put the table project documentation away carefully zw1 today.</p>""",
+      mustContain = Seq("as­so­ciate", "ta­ble", " project "),
+      mustNotContain = Seq("pro­ject")),
+    // M11 edge: <pre> text is never hyphenated
+    mungePage("pre_exempt",
+      s"""<p>$WinText</p>\n<pre>associate table documentation</pre>\n<p>$WinText</p>""",
+      mustContain = Seq("<pre>associate table documentation</pre>")),
+    // M12: noscript renamed to div (markers are hyphenation-proof: short
+    // words only; the <noscript check excludes the url's own path)
+    mungePage("ns_to_div",
+      s"""<p>$WinText</p>\n<noscript><p>kept zw1 text</p></noscript>\n<p>$WinText</p>""",
+      mustContain = Seq("<div><p>kept zw1 text</p></div>"),
+      mustNotContain = Seq("<noscript")),
+    // M13 serializer: entity round-trip (&amp; re-escaped, charref
+    // resolved to the literal character)
+    mungePage("entities",
+      s"""<p>$WinText</p>\n<p>AT&amp;T sells &lt;io&gt; &#8212; bulk only zw1 today.</p>""",
+      mustContain = Seq("AT&amp;T", "&lt;io&gt;", "—"))
+  )
+
+  // -------------------------------------------------------------- routes/
+
+  val routeCases: Seq[GCase] = Seq(
+    c("route_hashbang", "http://fixtures.test/app#!p=2",
+      page(s"""<div class="storyblock">\n${threeParas(WinText)}\n</div>"""),
+      mustContain = Seq("_escaped_fragment_=p=2", "zw1")),
+    c("route_utm", "http://fixtures.test/art?utm_source=feedburner",
+      page(s"""<div class="storyblock">\n${threeParas(WinText)}\n</div>"""),
+      mustContain = Seq("zw1"), mustNotContain = Seq("utm_source")),
+    c("route_googledocs",
+      "http://docs.google.com/View?docid=dg7abc123_55&hl=en",
+      "<html><body>ignored</body></html>",
+      mustContain = Seq("srcid=dg7abc123_55", "Open Original")),
+    c("route_pdf", "http://fixtures.test/papers/whitepaper.pdf",
+      "",
+      mustContain = Seq(
+        "http://docs.google.com/gview?url=http%3A//fixtures.test/papers/whitepaper.pdf",
+        "Open PDF")),
+    // U10/urlizetrunc: display text truncated with … for long urls
+    c("route_image_trunc",
+      "http://fixtures.test/media/" + ("x" * 60) + "/photo.png",
+      "",
+      mustContain = Seq("<img src=\"http://fixtures.test/media/", "…")),
+    c("route_reddit",
+      "http://reddit.com/r/scala/comments/42/fixture",
+      "<html><body><div class=\"junk\"><p>sidebar jnk</p></div>" +
+        "<div class=\"usertext border\"><div class=\"usertext-body\">" +
+        s"<p>$WinText</p></div></div></body></html>",
+      mustContain = Seq("zw1"), mustNotContain = Seq("jnk"))
+  )
+
+  // ---------------------------------------------------------- degenerate/
+
+  private val garbageBytes: Array[Byte] = {
+    // deterministic non-UTF-8 byte soup (LCG), no external data
+    var s = 0x12345678L
+    Array.fill[Byte](512) {
+      s = (s * 6364136223846793005L + 1442695040888963407L)
+      (s >>> 33).toByte
+    }
+  }
+
+  val degenerateCases: Seq[GCase] = Seq(
+    c("degen_empty", "http://fixtures.test/degen/empty", "",
+      mustContain = Seq("<p>Scoring error.</p>")),
+    c("degen_unclosed", "http://fixtures.test/degen/unclosed",
+      s"""<html><body><div class="storyblock"><p>$WinText<p>$WinText""",
+      mustContain = Seq("zw1")),
+    c("degen_strayclose", "http://fixtures.test/degen/strayclose",
+      s"""</div></p><html><body><div class="storyblock"><p>$WinText</p></div>""",
+      mustContain = Seq("zw1")),
+    c("degen_attr_noval", "http://fixtures.test/degen/attr_noval",
+      page(s"""<div class="storyblock" data-x>\n<p draggable>$WinText</p>\n<p>$WinText</p>\n</div>"""),
+      mustContain = Seq("zw1")),
+    GCase("degen_garbage", "http://fixtures.test/degen/garbage", garbageBytes)
+  )
+
+  val all: Seq[GCase] =
+    pointsCases ++ stripCases ++ mungeCases ++ routeCases ++ degenerateCases
+
+  val byName: Map[String, GCase] = all.map(g => g.name -> g).toMap
+}

@@ -20,13 +20,12 @@ object GoldenGenCli {
     val index = new String(Files.readAllBytes(dir.resolve("index.tsv")), "UTF-8")
     index.linesIterator.filter(_.nonEmpty).foreach { line =>
       val Array(name, url) = line.split("\t")
-      val inputName = if (name == "notes") "notes.txt" else s"$name.html"
-      val bytes = Files.readAllBytes(dir.resolve("cases").resolve(inputName))
+      val bytes = Files.readAllBytes(GoldenCasesGenCli.inputFileFor(dir, name))
       val c = Clean.clean(url, bytes)
       val out = s"note=${c.note}\nerror=${Option(c.error).getOrElse("")}\n---\n${c.content}"
       Files.write(dir.resolve("expected").resolve(s"$name.out"),
         out.getBytes("UTF-8"))
-      println(s"wrote $name.out (${c.content.length} chars, note=${c.note})")
+      println(s"wrote $name.out (${Option(c.content).map(_.length).getOrElse(0)} chars, note=${c.note})")
     }
   }
 }
