@@ -126,7 +126,7 @@ class DedupSpec extends SparkSpec {
     assert(rows.size == 5)
   }
 
-  test("media features: deterministic stub decode with stable schema") {
+  test("media features: deterministic decode (real png/wav paths) with stable schema") {
     val rows = Multimodal.mediaFeatures(spark, sf001).collect()
     assert(rows.length == 500)
     assert(rows.forall(_.getAs[Long]("feat_dim") == Multimodal.FeatDim.toLong))
