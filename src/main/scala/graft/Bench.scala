@@ -100,10 +100,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val repl = sys.env.getOrElse("SPARK_GRAFT_REPL", "4").toInt
-    // scaling legs use a smaller corpus (pages are ~20 KiB now): a local[2]
-    // leg must finish in ~a minute while still dwarfing the ~0.6 s fixed
-    // per-job floor that amortizes away at scale.
-    val replEff = sys.env.getOrElse("SPARK_GRAFT_REPL_EFF", "1").toInt
+    // scaling legs share the headline corpus: a local[8] leg must be ≥15 s
+    // so the ~0.5 s fixed per-job floor (scheduling, parquet footers,
+    // shuffle barriers — it amortizes away at real scale) stays <5% of the
+    // measurement; 5k-doc legs measured 0.58-0.76 "efficiency" purely from
+    // that floor.
+    val replEff = sys.env.getOrElse("SPARK_GRAFT_REPL_EFF", repl.toString).toInt
 
     // --- scaling pairs: interleaved (2,8) legs in the same host window;
     // reject physically-impossible pairs and retry ---

@@ -112,22 +112,53 @@ object ExtractJob {
     }
   }
 
-  /** Per-partition lineage, aggregated from the extracted rows by the pid
-    * COLUMN (partial/map-side aggregation; survives AQE).
+  /** Per-partition lineage, keyed on the pid COLUMN (survives AQE).
+    *
+    * Two stages, both strictly bounded:
+    *  1. mapPartitions pre-aggregation: one in-memory accumulator per pid
+    *     seen in the task (normally exactly one — extract() hash-partitions
+    *     on pid), with failure samples CAPPED at MaxFailureSamples during
+    *     accumulation. A 100%-failing poisoned partition therefore never
+    *     materializes more than 5 error structs — the previous
+    *     collect_list-then-slice formulation buffered every failure row
+    *     before slicing, an unbounded agg buffer at 10^12-doc scale.
+    *  2. a tiny merge groupBy over the per-task partials (≤ tasks×pids
+    *     rows, each with ≤5 samples) in case AQE ever splits a pid across
+    *     tasks; all aggregates are sums/flattens of bounded values.
     */
   def lineage(extracted: Dataset[ExtractedRow], runId: String): Dataset[LineageRow] = {
     val spark = extracted.sparkSession
     import spark.implicits._
-    extracted
+    val partials = extracted.mapPartitions { it =>
+      class Acc {
+        var n, bytes, ok, fail, wallUs = 0L
+        val samples = List.newBuilder[FailureSample]
+      }
+      val acc = scala.collection.mutable.LinkedHashMap.empty[Int, Acc]
+      it.foreach { r =>
+        val a = acc.getOrElseUpdate(r.pid, new Acc)
+        a.n += 1L
+        a.bytes += r.in_bytes
+        if (r.error == null) a.ok += 1L
+        else {
+          a.fail += 1L
+          if (a.fail <= MaxFailureSamples)
+            a.samples += FailureSample(r.url, r.error)
+        }
+        a.wallUs += r.wall_us
+      }
+      acc.iterator.map { case (pid, a) =>
+        LineagePartial(pid, a.n, a.bytes, a.ok, a.fail, a.samples.result(), a.wallUs)
+      }
+    }
+    partials
       .groupBy(col("pid"))
       .agg(
-        count(lit(1)).as("input_count"),
-        sum(col("in_bytes")).as("input_bytes"),
-        count(when(col("error").isNull, 1)).as("ok_count"),
-        count(when(col("error").isNotNull, 1)).as("fail_count"),
-        slice(
-          collect_list(
-            when(col("error").isNotNull, struct(col("url"), col("error")))),
+        sum(col("input_count")).as("input_count"),
+        sum(col("input_bytes")).as("input_bytes"),
+        sum(col("ok_count")).as("ok_count"),
+        sum(col("fail_count")).as("fail_count"),
+        slice(flatten(collect_list(col("failure_samples"))),
           1, MaxFailureSamples).as("failure_samples"),
         (sum(col("wall_us")) / 1000L).cast("long").as("wall_ms"))
       .select(

@@ -31,6 +31,18 @@ final case class ExtractedRow(
 
 final case class FailureSample(url: String, error: String)
 
+/** Per-task lineage pre-aggregate (ExtractJob.lineage stage 1): one row
+  * per pid seen in a task, failure samples already capped.
+  */
+final case class LineagePartial(
+    pid: Int,
+    input_count: Long,
+    input_bytes: Long,
+    ok_count: Long,
+    fail_count: Long,
+    failure_samples: Seq[FailureSample],
+    wall_us: Long)
+
 /** Per-partition lineage row (north rule). One row per (run_id, pid). */
 final case class LineageRow(
     run_id: String,
