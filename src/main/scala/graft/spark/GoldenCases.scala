@@ -241,6 +241,71 @@ object GoldenCases {
       mustContain = Seq("zw1"), mustNotContain = Seq("jnk"))
   )
 
+  // ----------------------------------- tags/blocks/links/images/structure/
+
+  val structuralCases: Seq[GCase] = Seq(
+    // R1: STRIP_TAGS member with >2000 chars of text is KEPT
+    // (patterns.py:395); a short one is stripped
+    c("tags_keeper", "http://fixtures.test/tags/keeper",
+      page(s"""<div class="storyblock">\n<p>$WinText</p>\n<script>var jnk = 1;</script>\n<iframe>kept zw1 ${"filler words for the keeper threshold " * 55}</iframe>\n</div>"""),
+      mustContain = Seq("kept zw1", "<iframe>"),
+      mustNotContain = Seq("jnk")),
+    // C7 boundary: leaf text of exactly 51 chars scores +3, exactly 50
+    // scores 0 — the 51-char div (FIRST, so tie-break would lose) wins
+    c("blocks_gt50_boundary", "http://fixtures.test/blocks/gt50",
+      page({
+        val a = "zw1 " + ("a" * 47) // 51 chars
+        val b = "zl0 " + ("b" * 46) // 50 chars
+        s"""<div class="plain"><p>$a</p><p>$a</p><p>$a</p></div>\n<div class="plain2"><p>$b</p><p>$b</p><p>$b</p></div>"""
+      }),
+      mustContain = Seq("zw1"), mustNotContain = Seq("zl0")),
+    // C6/R4: an anchor whose href is exactly this page is stripped
+    c("links_selflink", "http://fixtures.test/links/selflink",
+      page(s"""<div class="storyblock">\n<p>$WinText</p>\n<p><a href="http://fixtures.test/links/selflink">jnk self link</a></p>\n<p>$WinText</p>\n</div>"""),
+      mustContain = Seq("zw1"), mustNotContain = Seq("jnk")),
+    // C8: image size points tip selection — big img (+3+4) vs tiny (-1.5);
+    // the big-img div is FIRST so the win proves the points
+    c("images_size_points", "http://fixtures.test/images/size_points",
+      page(
+        s"""<div class="plain">\n${threeParas(WinText)}\n<img src="/i/big.jpg" width="640" height="480" alt="b">\n</div>\n<div class="plain2">\n${threeParas(LoseText)}\n<img src="/i/tiny.gif" width="5" height="4" alt="t">\n</div>"""),
+      mustContain = Seq("zw1"), mustNotContain = Seq("zl0")),
+    // C12: equal scores → document-order-LAST wins (stable sort). Both
+    // candidates carry +10 'entry' and sit one wrapper deep so each
+    // outscores <body>'s decayed both-sides aggregation; only document
+    // order separates them.
+    c("structure_tiebreak", "http://fixtures.test/structure/tiebreak",
+      page(
+        s"""<div class="wrapone"><div class="entry">\n${threeParas(WinText)}\n</div></div>\n<div class="wraptwo"><div class="entry">\n${threeParas(LoseText)}\n</div></div>"""),
+      mustContain = Seq("zl0"), mustNotContain = Seq("zw1")),
+    // R2: related-links list + its header stripped from the winner
+    c("lists_related_strip", "http://fixtures.test/lists/related",
+      page(s"""<div class="storyblock">\n<p>$WinText</p>\n<h4>Related stories</h4>\n<ul><li><a href="/r1">jnk one</a></li><li><a href="/r2">jnk two</a></li></ul>\n<p>$WinText</p>\n</div>"""),
+      mustContain = Seq("zw1"), mustNotContain = Seq("jnk", "Related"))
+  )
+
+  // ------------------------------------------------------------ encoding/
+
+  val encodingCases: Seq[GCase] = Seq(
+    // UTF-8 BOM survives decode as U+FEFF (frozen; the reference's
+    // requests.text behaves likewise with utf-8-sig undetected)
+    GCase("enc_bom", "http://fixtures.test/enc/bom",
+      Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+        page(s"""<div class="storyblock">\n${threeParas(WinText)}\n</div>""").getBytes("UTF-8"),
+      mustContain = Seq("zw1")),
+    // uppercase charset name honored; latin-1 é decodes correctly
+    GCase("enc_latin1_upper", "http://fixtures.test/enc/latin1",
+      ("<html><head><meta charset=\"ISO-8859-1\"><title>fixture</title></head><body>" +
+        s"""<div class="storyblock"><p>café zw1 $WinText</p><p>$WinText</p></div>""" +
+        "</body></html>").getBytes("ISO-8859-1"),
+      mustContain = Seq("café", "zw1")),
+    // bogus declared charset → UTF-8 fallback with replacement
+    GCase("enc_bad_charset", "http://fixtures.test/enc/badcharset",
+      ("<html><head><meta charset=\"bogus-enc-42\"><title>fixture</title></head><body>" +
+        s"""<div class="storyblock"><p>café zw1 $WinText</p><p>$WinText</p></div>""" +
+        "</body></html>").getBytes("UTF-8"),
+      mustContain = Seq("café", "zw1"))
+  )
+
   // ---------------------------------------------------------- degenerate/
 
   private val garbageBytes: Array[Byte] = {
@@ -268,7 +333,8 @@ object GoldenCases {
   )
 
   val all: Seq[GCase] =
-    pointsCases ++ stripCases ++ mungeCases ++ routeCases ++ degenerateCases
+    pointsCases ++ stripCases ++ mungeCases ++ routeCases ++
+      structuralCases ++ encodingCases ++ degenerateCases
 
   val byName: Map[String, GCase] = all.map(g => g.name -> g).toMap
 }
