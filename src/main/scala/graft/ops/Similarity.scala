@@ -82,8 +82,97 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank").cast("long").as("rank"))
   }
 
+  // ------------------------------------------------------------- IVF ANN
+
+  val IvfCells = 16
+  val IvfSampleSize = 512
+  val IvfIters = 10
+
+  /** Deterministic Lloyd iterations over a driver-side sample — the
+    * standard IVF recipe (train the coarse quantizer on a bounded sample,
+    * assign the full corpus distributively). Sequential arithmetic in
+    * sample order → bit-stable centroids on any JVM. Empty cells keep
+    * their previous centroid.
+    */
+  def lloyd(sample: Array[Array[Float]], cells: Int, iters: Int): Array[Array[Double]] = {
+    val c = math.min(cells, sample.length)
+    val dim = sample(0).length
+    val cents = Array.tabulate(c, dim)((i, j) => sample(i)(j).toDouble)
+    for (_ <- 0 until iters) {
+      val sums = Array.ofDim[Double](c, dim)
+      val counts = new Array[Long](c)
+      for (v <- sample) {
+        var best = 0
+        var bestD = Double.MaxValue
+        var ci = 0
+        while (ci < c) {
+          var d = 0.0
+          var j = 0
+          while (j < dim) {
+            val diff = v(j) - cents(ci)(j); d += diff * diff; j += 1
+          }
+          if (d < bestD) { bestD = d; best = ci }
+          ci += 1
+        }
+        counts(best) += 1
+        var j = 0
+        while (j < dim) { sums(best)(j) += v(j); j += 1 }
+      }
+      for (ci <- 0 until c if counts(ci) > 0; j <- 0 until dim)
+        cents(ci)(j) = sums(ci)(j) / counts(ci)
+    }
+    cents
+  }
+
+  /** The trained coarse quantizer for a corpus (first `IvfSampleSize`
+    * vec_ids, deterministic order).
+    */
+  def ivfCentroids(spark: SparkSession, sfDir: String): Array[Array[Double]] = {
+    val sample = embeddings(spark, sfDir)
+      .filter(col("vec_id") < IvfSampleSize)
+      .orderBy(col("vec_id"))
+      .select("embedding")
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+    lloyd(sample, IvfCells, IvfIters)
+  }
+
+  /** IVF ANN: corpus vectors assigned to their nearest centroid cell
+    * (one codegen'd expression, graft.spark.FloatVecNearestCell); queries
+    * probe their `nprobe` nearest cells; exact cosine top-k within the
+    * probed cells only. At scale: bounded driver-side training, narrow
+    * per-row assignment, hash-partitioned cell equi-join — never
+    * all-pairs; nprobe bounds the fan-out per query.
+    */
+  def annIvf(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    val cents = ivfCentroids(spark, sfDir)
+    graft.spark.VectorExpressions.registerIvfCells(spark, cents)
+    val e = withNorm(embeddings(spark, sfDir))
+    val corpus = e
+      .withColumn("cell", expr("float_vec_ivf_cell(embedding)"))
+      .select(col("cell"), col("vec_id").as("neighbor_id"),
+        col("embedding").as("c_v"), col("nrm").as("c_n"))
+    val queries = e
+      .withColumn("cell", explode(array(
+        expr("float_vec_ivf_cell(embedding)"),
+        expr("float_vec_ivf_cell2(embedding)"))))
+      .filter(col("cell") >= 0) // second cell is -1 when only one centroid
+      .select(col("cell"), col("vec_id").as("query_id"),
+        col("embedding").as("q_v"), col("nrm").as("q_n"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    queries.join(corpus, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .selectExpr("query_id", "neighbor_id", CosineExpr)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"),
+        col("rank").cast("long").as("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t10_knn_bruteforce" -> ((s, d) => knnBruteForce(s, d)),
-    "t11_ann_lsh" -> ((s, d) => annLsh(s, d))
+    "t11_ann_lsh" -> ((s, d) => annLsh(s, d)),
+    "t14_ann_ivf" -> ((s, d) => annIvf(s, d))
   )
 }

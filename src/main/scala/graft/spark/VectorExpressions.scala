@@ -161,6 +161,108 @@ case class FloatVecLshBucket(child: Expression, planes: Array[Array[Double]])
   override def prettyName: String = "float_vec_lsh_bucket"
 }
 
+/** `FloatVecNearestCell(v, centroids, nth)` — index of the nth-nearest
+  * (0 = nearest, 1 = second) centroid to an `array<float>` vector by
+  * squared L2 distance, as INT. The centroid matrix (trained driver-side
+  * on a bounded sample — the standard IVF recipe) rides along as a
+  * codegen reference object; assignment is one codegen'd primitive loop
+  * per row, the same pattern as FloatVecLshBucket. Ties break to the
+  * lower centroid index (strict < comparison) — deterministic.
+  */
+case class FloatVecNearestCell(
+    child: Expression, centroids: Array[Array[Double]], nth: Int)
+    extends UnaryExpression {
+
+  require(nth == 0 || nth == 1, "nth must be 0 (nearest) or 1 (second)")
+  private val numCells = centroids.length
+  private val dim = if (centroids.isEmpty) 0 else centroids(0).length
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"FloatVecNearestCell expects array<float>, got ${other.simpleString}")
+  }
+
+  private lazy val flat: Array[Double] = centroids.flatten
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val ne = v.numElements()
+    var best = -1
+    var second = -1
+    var bestD = Double.MaxValue
+    var secondD = Double.MaxValue
+    var c = 0
+    while (c < numCells) {
+      var d = 0.0
+      val base = c * dim
+      val n = math.min(dim, ne)
+      var j = 0
+      while (j < n) {
+        val diff = v.getFloat(j).toDouble - flat(base + j)
+        d += diff * diff
+        j += 1
+      }
+      if (d < bestD) {
+        secondD = bestD; second = best
+        bestD = d; best = c
+      } else if (d < secondD) {
+        secondD = d; second = c
+      }
+      c += 1
+    }
+    if (nth == 0) best else second
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("ivfCentroids", flat, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val ne = ctx.freshName("ne")
+      val best = ctx.freshName("best")
+      val second = ctx.freshName("second")
+      val bestD = ctx.freshName("bestD")
+      val secondD = ctx.freshName("secondD")
+      val c = ctx.freshName("c")
+      val d = ctx.freshName("d")
+      val base = ctx.freshName("base")
+      val n = ctx.freshName("n")
+      val j = ctx.freshName("j")
+      val diff = ctx.freshName("diff")
+      code"""
+        int $ne = $v.numElements();
+        int $best = -1; int $second = -1;
+        double $bestD = Double.MAX_VALUE; double $secondD = Double.MAX_VALUE;
+        for (int $c = 0; $c < $numCells; $c++) {
+          double $d = 0.0;
+          int $base = $c * $dim;
+          int $n = Math.min($dim, $ne);
+          for (int $j = 0; $j < $n; $j++) {
+            double $diff = ((double) $v.getFloat($j)) - $cRef[$base + $j];
+            $d += $diff * $diff;
+          }
+          if ($d < $bestD) {
+            $secondD = $bestD; $second = $best;
+            $bestD = $d; $best = $c;
+          } else if ($d < $secondD) {
+            $secondD = $d; $second = $c;
+          }
+        }
+        ${ev.value} = ($nth == 0) ? $best : $second;
+      """.toString
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): FloatVecNearestCell =
+    copy(child = newChild)
+
+  override def prettyName: String = "float_vec_nearest_cell"
+}
+
 object VectorExpressions {
   val info = new ExpressionInfo(classOf[FloatVecDot].getName, "float_vec_dot")
 
@@ -190,6 +292,25 @@ object VectorExpressions {
   val lshBuilder: Seq[Expression] => Expression = { args =>
     require(args.length == 1, "float_vec_lsh_bucket(v) takes 1 argument")
     FloatVecLshBucket(args.head, defaultPlanes)
+  }
+
+  /** Register `float_vec_ivf_cell(v)` / `float_vec_ivf_cell2(v)` bound to
+    * a trained centroid matrix (session-scoped; re-registering rebinds —
+    * each annIvf build installs its corpus's quantizer).
+    */
+  def registerIvfCells(spark: SparkSession, centroids: Array[Array[Double]]): Unit = {
+    def builder(nth: Int): Seq[Expression] => Expression = { args =>
+      require(args.length == 1, "float_vec_ivf_cell(v) takes 1 argument")
+      FloatVecNearestCell(args.head, centroids, nth)
+    }
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("float_vec_ivf_cell"),
+      new ExpressionInfo(classOf[FloatVecNearestCell].getName, "float_vec_ivf_cell"),
+      builder(0))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("float_vec_ivf_cell2"),
+      new ExpressionInfo(classOf[FloatVecNearestCell].getName, "float_vec_ivf_cell2"),
+      builder(1))
   }
 
   /** Register `float_vec_dot` + `float_vec_lsh_bucket` (idempotent). */

@@ -112,6 +112,20 @@ class DedupSpec extends SparkSpec {
     assert(rows.contains((0L, 1L)) && rows.contains((1L, 0L)))
   }
 
+  test("ann ivf: nprobe-2 probing finds the planted twins; cells are bounded") {
+    val rows = Similarity.annIvf(spark, plantedDir, k = 3)
+      .collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id"))
+    assert(rows.contains((0L, 1L)) && rows.contains((1L, 0L)))
+    assert(rows.contains((3L, 4L)) && rows.contains((4L, 3L)))
+    // deterministic: centroid training is sequential driver-side Lloyd
+    val again = Similarity.annIvf(spark, plantedDir, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(again.sorted.sameElements(
+      Similarity.annIvf(spark, plantedDir, k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).sorted))
+  }
+
   test("composite dedup pipeline: exact then near, greedy min-id keeper") {
     val rows = Dedup.dedupPipeline(spark, plantedDir, estTh = 0.5, jaccardTh = 0.8)
       .collect()
