@@ -40,6 +40,43 @@ object StreamingExtract {
       })
   }
 
+  /** Event-time windowed lineage over a streaming pages source: watermark
+    * on `warc_ts` (bounds state; late pages beyond it are dropped) +
+    * tumbling-window aggregation per (window, pid) — the canonical
+    * Structured Streaming shape for continuous per-partition lineage.
+    * State per key is a handful of counters, so a 10^12-doc stream holds
+    * only (windows-in-watermark × buckets) aggregation rows.
+    */
+  def windowedLineage(
+      pages: DataFrame,
+      buckets: Int,
+      windowDuration: String = "1 hour",
+      watermarkDelay: String = "2 hours",
+      maxHtmlBytes: Int = ExtractJob.DefaultMaxHtmlBytes): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages
+      .withColumn("pid", pmod(xxhash64(col("url")), lit(buckets)).cast("int"))
+      .select("warc_ts", "url", "html", "pid")
+      .as[(java.sql.Timestamp, String, Array[Byte], Int)]
+      .map { case (ts, url, html, pid) =>
+        (ts, ExtractJob.extractOne(url, html, pid, maxHtmlBytes, attempts = 2))
+      }
+      .toDF("warc_ts", "r")
+      .withWatermark("warc_ts", watermarkDelay)
+      .groupBy(window(col("warc_ts"), windowDuration), col("r.pid").as("pid"))
+      .agg(
+        count(lit(1)).as("input_count"),
+        sum(col("r.in_bytes")).as("input_bytes"),
+        count(when(col("r.error").isNull, 1)).as("ok_count"),
+        count(when(col("r.error").isNotNull, 1)).as("fail_count"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("pid"), col("input_count"), col("input_bytes"),
+        col("ok_count"), col("fail_count"))
+  }
+
   /** One fetch outcome observed on the stream. */
   final case class FetchEvent(feed_url: String, fetch_time: Double, new_items: Int)
 

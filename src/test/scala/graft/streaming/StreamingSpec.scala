@@ -50,6 +50,36 @@ class StreamingSpec extends SparkSpec {
     assert(rows.last.next_due == 1000.0 + 14400.0 * 1.1)
   }
 
+  test("windowed lineage: watermark + tumbling windows aggregate per (window, pid)") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val source = MemoryStream[Page]
+    val base = PagesGen.fromDocuments(spark, sf001).limit(12).collect()
+    // spread pages across two 1-hour windows
+    val hour = 3600L * 1000
+    val t0 = 1767225600000L // 2026-01-01T00:00Z
+    val staged = base.zipWithIndex.map { case (p, i) =>
+      p.copy(warc_ts = new java.sql.Timestamp(t0 + (i % 2) * hour + (i * 60000L)))
+    }
+    source.addData(staged.toSeq)
+    val q = StreamingExtract.windowedLineage(source.toDF(), buckets = 4)
+      .writeStream.format("memory").queryName("winlin_out")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val rows = spark.table("winlin_out").collect()
+    val byWindow = rows.groupBy(_.getAs[java.sql.Timestamp]("window_start"))
+    assert(byWindow.size >= 2) // pages landed in ≥2 tumbling windows
+    assert(rows.map(_.getAs[Long]("input_count")).sum == staged.length)
+    assert(rows.forall(r =>
+      r.getAs[Long]("ok_count") + r.getAs[Long]("fail_count") ==
+        r.getAs[Long]("input_count")))
+    // event-time watermark is present in the analyzed plan
+    val lineagePlan = StreamingExtract.windowedLineage(source.toDF(), 4)
+      .queryExecution.analyzed.toString
+    assert(lineagePlan.contains("EventTimeWatermark"), lineagePlan.take(500))
+  }
+
   test("pure transition clamps to [3600, 259200]") {
     var st = FeedState(0.0, 4000.0)
     st = StreamingExtract.step(Some(st), FetchEvent("f", 1.0, 3))
