@@ -45,22 +45,27 @@ object GoldenCases {
 
   /** A/B page for a POSITIVE points rule: the ruled div comes FIRST, so
     * without the boost the doc-order-last tie-break would pick the plain
-    * div — the ruled div winning proves the boost moved selection.
+    * div — the ruled div winning proves the boost moved selection. Each
+    * candidate sits one neutral wrapper deep so <body>'s decayed
+    * both-sides aggregation cannot outscore the candidates even for
+    * small-point rules (depth-decay: body takes decay(3) of leaf points
+    * instead of decay(2)).
     */
   private def boostCase(name: String, ruleClass: String): GCase =
     c(s"points_$name", s"http://fixtures.test/points/$name",
       page(
-        s"""<div class="$ruleClass">\n${threeParas(WinText)}\n</div>\n<div class="plain">\n${threeParas(LoseText)}\n</div>"""),
+        s"""<div class="wrapone"><div class="$ruleClass">\n${threeParas(WinText)}\n</div></div>\n<div class="wraptwo"><div class="plain">\n${threeParas(LoseText)}\n</div></div>"""),
       mustContain = Seq("zw1"), mustNotContain = Seq("zl0"))
 
   /** A/B page for a NEGATIVE points rule: the penalized div comes LAST, so
     * without the penalty the tie-break would pick it — the plain div
-    * winning proves the penalty moved selection.
+    * winning proves the penalty moved selection. Wrapper rationale as in
+    * boostCase.
     */
   private def penaltyCase(name: String, ruleClass: String): GCase =
     c(s"points_$name", s"http://fixtures.test/points/$name",
       page(
-        s"""<div class="plain">\n${threeParas(WinText)}\n</div>\n<div class="$ruleClass">\n${threeParas(LoseText)}\n</div>"""),
+        s"""<div class="wrapone"><div class="plain">\n${threeParas(WinText)}\n</div></div>\n<div class="wraptwo"><div class="$ruleClass">\n${threeParas(LoseText)}\n</div></div>"""),
       mustContain = Seq("zw1"), mustNotContain = Seq("zl0"))
 
   /** Page for an ATTR_STRIP rule: junk node with the matching attr inside
@@ -106,7 +111,19 @@ object GoldenCases {
     c("points_parent_suppress", "http://fixtures.test/points/parent_suppress",
       page(
         s"""<div class="story">\n<div class="story">\n${threeParas(WinText)}\n</div>\n</div>\n<div class="plain">\n${threeParas(LoseText)}\n</div>"""),
-      mustContain = Seq("zw1"), mustNotContain = Seq("zl0"))
+      mustContain = Seq("zw1"), mustNotContain = Seq("zl0")),
+    // round-2 batch 2: more high-traffic rules
+    boostCase("bodytext_word", "bodytext"),     // +5 _ReWord body(text)?
+    boostCase("single_word", "single"),         // +5 _ReWord single
+    boostCase("permalink_whole", "permalink"),  // +5 _ReWhole permalink
+    boostCase("meat_whole", "meat"),            // +10 _ReWhole meat
+    boostCase("wide_word", "wide"),             // +10 _ReWord (?<!ad )wide
+    boostCase("postbody_word", "post-body"),    // +10 _ReWord post...body
+    penaltyCase("print_word", "print"),         // -10 _ReWord print
+    penaltyCase("lightbox_word", "lightbox"),   // -5 _ReWord lightbox
+    penaltyCase("links_word", "links"),         // -5 _ReWord links
+    penaltyCase("meta_word", "meta"),           // -2 _ReWord meta(data)?
+    penaltyCase("biobox_whole", "bio box")      // -7 _ReWhole bio box
   )
 
   // -------------------------------------------------------------- strip/
