@@ -149,7 +149,13 @@ object Bench {
       val outFile = new java.io.File(syncDir, s"out-$i.log")
       new ProcessBuilder(
         (Seq(javaBin) ++ addOpens ++ Seq(
-          "-Xmx4g", "-Dspark.ui.enabled=false", "-cp", cp,
+          "-Xmx4g",
+          // size the JVM to its core share, as a containerized executor
+          // would be: without this each worker spawns ~23 G1 GC threads
+          // (sized for the 32-vCPU host) and 4 concurrent workers thrash —
+          // measured 4x slowdown vs the same 8 threads in one JVM
+          s"-XX:ActiveProcessorCount=$coresPerWorker",
+          "-Dspark.ui.enabled=false", "-cp", cp,
           "graft.spark.WorkerExtractCli", corpusDir, workers.toString,
           i.toString, coresPerWorker.toString, syncDir)): _*)
         .redirectErrorStream(true)

@@ -145,7 +145,22 @@ object GoldenCases {
     stripCase("doubleclick_src",
       """<img src="http://ad.doubleclick.net/jnk.gif" width="300" height="250">"""),
     stripCase("feedads_href",
-      """<a href="http://feedads.g.doubleclick.net/jnk">jnk feed ad</a>""")
+      """<a href="http://feedads.g.doubleclick.net/jnk">jnk feed ad</a>"""),
+    // round-2 batch 2
+    stripClassCase("archive_word", "archive"),
+    stripClassCase("logo_word", "logo"),
+    stripClassCase("readmore_word", "read-more"), // separateWords: '-'→' '
+    stripClassCase("tags_word", "tags"),
+    stripClassCase("talkback_word", "talkback"),
+    stripClassCase("replies_word", "replies"),
+    stripClassCase("pagination_whole", "pagination"),
+    stripClassCase("searchbar_whole", "searchbar"),
+    stripClassCase("respond_whole", "respond"),
+    stripClassCase("adsense_any", "adsense"),
+    stripCase("smilies_src",
+      """<img src="/img/smilies/jnk.gif" width="20" height="20">"""),
+    stripCase("quantserve_src",
+      """<img src="http://pixel.quantserve.com/jnk.gif" width="1" height="1">""")
   )
 
   // -------------------------------------------------------------- munge/
