@@ -230,7 +230,7 @@ object Bench {
     val (execDir, _) = corpus(sfDir, replEff * 2, partitionBySlice = true)
     val epairs = scala.collection.mutable.ArrayBuffer.empty[EPair]
     var eAttempts = 0
-    while (eAttempts < 4 &&
+    while (eAttempts < MaxPairAttempts &&
         (!epairs.exists(p => p.valid && p.eff >= 0.8) || eAttempts < 2)) {
       eAttempts += 1
       val (d1, t1) = multiJvmLevel(execDir, 1)
