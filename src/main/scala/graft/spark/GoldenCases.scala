@@ -312,7 +312,39 @@ object GoldenCases {
     // R2: related-links list + its header stripped from the winner
     c("lists_related_strip", "http://fixtures.test/lists/related",
       page(s"""<div class="storyblock">\n<p>$WinText</p>\n<h4>Related stories</h4>\n<ul><li><a href="/r1">jnk one</a></li><li><a href="/r2">jnk two</a></li></ul>\n<p>$WinText</p>\n</div>"""),
-      mustContain = Seq("zw1"), mustNotContain = Seq("jnk", "Related"))
+      mustContain = Seq("zw1"), mustNotContain = Seq("jnk", "Related")),
+    // C7: 19-char leaf blocks carry -0.75, 21-char ones 0 — the short-text
+    // penalty decides between otherwise-equal candidates
+    c("blocks_short_penalty", "http://fixtures.test/blocks/short_penalty",
+      page(
+        s"""<div class="wrapone"><div class="plain">\n${threeParas(WinText)}\n<p>${"x" * 21}</p><p>${"y" * 21}</p><p>${"w" * 21}</p>\n</div></div>\n<div class="wraptwo"><div class="plain2">\n${threeParas(LoseText)}\n<p>${"x" * 19}</p><p>${"y" * 19}</p><p>${"w" * 19}</p>\n</div></div>"""),
+      mustContain = Seq("zw1"), mustNotContain = Seq("zl0")),
+    // C8: alt text > 50 chars gives +2 — the long-alt image's div wins
+    c("images_alt_bonus", "http://fixtures.test/images/alt_bonus",
+      page(
+        s"""<div class="wrapone"><div class="plain">\n${threeParas(WinText)}\n<img src="/i/a.jpg" width="200" height="200" alt="${"a descriptive caption easily exceeding the fifty character bonus bar"}">\n</div></div>\n<div class="wraptwo"><div class="plain2">\n${threeParas(LoseText)}\n<img src="/i/b.jpg" width="200" height="200" alt="short">\n</div></div>"""),
+      mustContain = Seq("zw1"), mustNotContain = Seq("zl0")),
+    // C6: out-of-domain links score +1 each; same-domain links score 0
+    c("links_outdomain_bonus", "http://fixtures.test/links/outdomain",
+      page(
+        s"""<div class="wrapone"><div class="plain">\n${threeParas(WinText)}\n<p><a href="http://other1.test/a">ref</a> <a href="http://other2.test/b">ref</a> <a href="http://other3.test/c">ref</a></p>\n</div></div>\n<div class="wraptwo"><div class="plain2">\n${threeParas(LoseText)}\n<p><a href="/local/a">ref</a> <a href="/local/b">ref</a> <a href="/local/c">ref</a></p>\n</div></div>"""),
+      mustContain = Seq("zw1"), mustNotContain = Seq("zl0")),
+    // R2 via the blockquote list-form: (<br> - item){2,} quotes under a
+    // "See also" header are related-link lists and get stripped
+    c("lists_blockquote_form", "http://fixtures.test/lists/blockquote",
+      page(s"""<div class="storyblock">\n<p>$WinText</p>\n<h4>See also</h4>\n<blockquote>intro<br> - jnk item one<br> - jnk item two</blockquote>\n<p>$WinText</p>\n</div>"""),
+      mustContain = Seq("zw1"), mustNotContain = Seq("jnk", "See also")),
+    // R2 via the center-of-anchors form: a <center> with ≥8 direct links
+    // under a related header is a list and gets stripped
+    c("lists_center_form", "http://fixtures.test/lists/center",
+      page(s"""<div class="storyblock">\n<p>$WinText</p>\n<h4>Most popular</h4>\n<center>${(1 to 8).map(i => s"""<a href="/p$i">jnk $i</a>""").mkString(" ")}</center>\n<p>$WinText</p>\n</div>"""),
+      mustContain = Seq("zw1"), mustNotContain = Seq("jnk")),
+    // C9: positive scores never propagate past an <li> — a candidate whose
+    // (longer!) prose sits inside a list accumulates nothing at div level
+    c("structure_li_blocker", "http://fixtures.test/structure/li_blocker",
+      page(
+        s"""<div class="wrapone"><div class="plain">\n${threeParas(WinText)}\n</div></div>\n<div class="wraptwo"><div class="plain2">\n<ul><li><p>$LoseText</p><p>$LoseText</p><p>$LoseText</p><p>$LoseText</p><p>$LoseText</p></li></ul>\n</div></div>"""),
+      mustContain = Seq("zw1"), mustNotContain = Seq("zl0"))
   )
 
   // ------------------------------------------------------------ encoding/
