@@ -84,8 +84,14 @@ object FeedLogic {
     *     type="application/rss+xml" or "application/atom+xml" ends the
     *     scan (setnomoretags) whether or not it carries href — a matching
     *     link without href yields NO feed (autorss returns '');
-    *   - comments and script/style content are not tag soup (SGMLParser
-    *     CDATA handling).
+    *   - comments are not tag soup; script/style BODIES are skipped to
+    *     their closing tag. NB the second point is a DELIBERATE DEVIATION
+    *     (ADVICE r02): the reference's LinkParser is a plain SGMLParser
+    *     subclass with no `setliteral()`, so it tokenizes markup-like
+    *     strings INSIDE script text (`document.write('<body>')` ends its
+    *     scan; an embedded '<link rel=alternate…>' string would match).
+    *     Treating script/style as CDATA is the saner behavior for web-scale
+    *     corpora and is pinned by FeedLogicSpec as this engine's contract.
     * Implemented as a single forward char scan over the raw html — the
     * note path runs this per document, so it must not re-parse the DOM
     * (head-prefix cost only, like autorss's BUFFERSIZE streaming).

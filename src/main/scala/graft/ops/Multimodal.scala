@@ -139,15 +139,25 @@ object Multimodal {
           payload(10) == 'V' && payload(11) == 'E')) return None
     val buf = java.nio.ByteBuffer.wrap(payload)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    // walk chunks from offset 12 to find 'data'
+    // walk chunks from offset 12 to find 'data'; a corrupt/adversarial
+    // chunk length (negative, or padded length overflowing) must not stall
+    // the walk — reject instead of looping forever in an executor task
+    // (ADVICE r02)
     var pos = 12
     var dataPos = -1
     var dataLen = 0
     while (pos + 8 <= payload.length && dataPos < 0) {
       val cid = new String(payload, pos, 4, "US-ASCII")
       val clen = buf.getInt(pos + 4)
-      if (cid == "data") { dataPos = pos + 8; dataLen = clen }
-      else pos += 8 + clen + (clen & 1)
+      if (cid == "data") {
+        if (clen < 0) return None
+        dataPos = pos + 8; dataLen = clen
+      } else {
+        val next = pos.toLong + 8L + clen.toLong + (clen & 1)
+        if (clen < 0 || next <= pos) return None
+        if (next > Int.MaxValue) return None
+        pos = next.toInt
+      }
     }
     if (dataPos < 0) return None
     val end = math.min(dataPos + dataLen, payload.length)

@@ -124,16 +124,22 @@ object Similarity {
     cents
   }
 
-  /** The trained coarse quantizer for a corpus (first `IvfSampleSize`
-    * vec_ids, deterministic order).
+  /** The trained coarse quantizer for a corpus: the `IvfSampleSize`
+    * LOWEST vec_ids in deterministic order. orderBy+limit plans as
+    * TakeOrderedAndProject (bounded per-partition heaps + driver merge),
+    * so the sample is correct for ANY id space — a `vec_id <
+    * IvfSampleSize` filter silently returned an empty sample when ids
+    * didn't start at 0 and crashed lloyd on an empty table (ADVICE r02).
     */
   def ivfCentroids(spark: SparkSession, sfDir: String): Array[Array[Double]] = {
     val sample = embeddings(spark, sfDir)
-      .filter(col("vec_id") < IvfSampleSize)
       .orderBy(col("vec_id"))
+      .limit(IvfSampleSize)
       .select("embedding")
       .collect()
       .map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty,
+      s"cannot train IVF centroids: embeddings table at $sfDir is empty")
     lloyd(sample, IvfCells, IvfIters)
   }
 

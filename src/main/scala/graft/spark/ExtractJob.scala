@@ -183,7 +183,13 @@ object ExtractJob {
     */
   def committedPidsDf(
       spark: SparkSession, lineagePath: String, runId: String): Option[DataFrame] = {
-    if (!new java.io.File(lineagePath).exists()) return None
+    // Existence probe through the Hadoop FileSystem for the path's OWN
+    // scheme: a java.io.File check only sees the local filesystem, so on
+    // HDFS/S3 it always said "no lineage" and resume silently re-ran the
+    // world — exactly the failure mode this method forbids (ADVICE r02).
+    val p = new org.apache.hadoop.fs.Path(lineagePath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return None
     try {
       Some(spark.read.parquet(lineagePath)
         .filter(col("run_id") === runId)

@@ -86,14 +86,30 @@ class DedupSpec extends SparkSpec {
       .collect()
       .sortBy(_.getAs[Long]("rank"))
     assert(all.nonEmpty) // rank-based output is never vacuous
-    assert(all.length == 10) // C(5,2) pairs, all ranked
     val top2 = all.take(2)
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     // the two noise-0.01 planted twins outrank everything else
     assert(top2 == Set((0L, 1L), (3L, 4L)))
     assert(all.take(2).forall(_.getAs[Double]("cosine") > 0.99))
+    // every candidate-verified pair carries the EXACT cosine: it must
+    // agree with the brute-force baseline's value for the same pair
+    val brute = Dedup.embeddingCosineBruteForce(spark, plantedDir, topPairs = 100)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("cosine"))
+      .toMap
+    for (r <- all) {
+      val k = (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))
+      assert(brute(k) == r.getAs[Double]("cosine"), s"cosine mismatch for $k")
+    }
     // bounded output: topPairs caps the result set
     assert(Dedup.embeddingCosine(spark, plantedDir, topPairs = 3).count() == 3)
+  }
+
+  test("t9 plan is candidate-verified — no cartesian product (VERDICT r02 task 4)") {
+    val p = Dedup.embeddingCosine(spark, plantedDir, topPairs = 100)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"cartesian leaked into t9:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop join leaked into t9:\n$p")
   }
 
   test("knn brute force: nearest neighbor of vec 0 is its planted twin") {
