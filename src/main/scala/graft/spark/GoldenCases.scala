@@ -396,9 +396,380 @@ object GoldenCases {
     GCase("degen_garbage", "http://fixtures.test/degen/garbage", garbageBytes)
   )
 
+  // ================== round-3: FULL per-rule coverage ====================
+  // (VERDICT r02 task 3 — every ATTR_POINTS/ATTR_STRIP rule from
+  // patterns.py:48-231 gets an end-to-end page, except two rules that are
+  // DEAD in the reference itself; see pointsRuleDead/stripRuleDead.)
+  // Every case below is registered in an AUDIT entry; GoldenRuleAuditSpec
+  // verifies against the live rule tables that (a) the target rule fires
+  // on the case's class/href, (b) no OTHER points rule fires except the
+  // declared same-sign co-matches, (c) strip shadowing is declared.
+
+  /** Audit record for a per-rule points case. `attr` is "class" (the raw
+    * class attribute — the spec synthesizes the classid exactly like
+    * Patterns.processInner) or "href".
+    */
+  final case class PointsAudit(
+      caseName: String,
+      attr: String,
+      value: String,
+      ruleIdx: Int,
+      allowedExtra: Set[Int] = Set.empty,
+      strippedToo: Boolean = false,
+      // a differential A/B carries its co-matches on BOTH candidates, so
+      // an opposite-sign co-match cancels instead of confounding
+      differential: Boolean = false)
+
+  final case class StripAudit(
+      caseName: String,
+      attr: String, // "class" | "src" | "href" | "id"
+      value: String,
+      ruleIdx: Int)
+
+  /** A positive-points rule whose classid ALSO matches a strip rule: the
+    * ruled child is scored (+points decay up to the candidate) and then
+    * stripped — so the ruled child sits inside the WINNER (first, boost
+    * must move selection) and its jnk text must be gone from the output.
+    */
+  private def boostViaChildCase(name: String, ruleClass: String): GCase =
+    c(s"points_$name", s"http://fixtures.test/points/$name",
+      page(
+        s"""<div class="wrapone"><div class="plain">\n${threeParas(WinText)}\n<div class="$ruleClass"><p>jnk child block filler</p></div>\n</div></div>\n<div class="wraptwo"><div class="plain2">\n${threeParas(LoseText)}\n<div class="plainchild"><p>pad child block filler</p></div>\n</div></div>"""),
+      mustContain = Seq("zw1"), mustNotContain = Seq("zl0", "jnk"))
+
+  /** Negative-points + strip-shadowed: ruled child inside the LOSER
+    * (last, penalty must move selection); neutral twin child in the
+    * winner keeps leaf-block noise symmetric.
+    */
+  private def penaltyViaChildCase(name: String, ruleClass: String): GCase =
+    c(s"points_$name", s"http://fixtures.test/points/$name",
+      page(
+        s"""<div class="wrapone"><div class="plain">\n${threeParas(WinText)}\n<div class="plainchild"><p>pad child block filler</p></div>\n</div></div>\n<div class="wraptwo"><div class="plain2">\n${threeParas(LoseText)}\n<div class="$ruleClass"><p>jnk child block filler</p></div>\n</div></div>"""),
+      mustContain = Seq("zw1"), mustNotContain = Seq("zl0", "jnk"))
+
+  /** Differential A/B for a rule whose match string unavoidably co-fires a
+    * LARGER opposite-sign rule (e.g. 'post date' -5 always co-fires
+    * 'post…' +10): both candidates carry the shared rule; only the loser
+    * carries the target — the winner (FIRST) winning isolates the target's
+    * delta.
+    */
+  private def diffCase(name: String, winClass: String, loseClass: String): GCase =
+    c(s"points_$name", s"http://fixtures.test/points/$name",
+      page(
+        s"""<div class="wrapone"><div class="$winClass">\n${threeParas(WinText)}\n</div></div>\n<div class="wraptwo"><div class="$loseClass">\n${threeParas(LoseText)}\n</div></div>"""),
+      mustContain = Seq("zw1"), mustNotContain = Seq("zl0"))
+
+  /** A/B for an href points rule (all are penalties): both candidates
+    * carry 3 out-of-domain anchors (+1 each, C6), only the loser's hrefs
+    * match the rule — the same shape as the round-2 jshref case.
+    */
+  private def hrefPenaltyCase(name: String, mkHref: Int => String): GCase =
+    c(s"points_$name", s"http://fixtures.test/points/$name",
+      page(
+        s"""<div class="plain">\n${threeParas(WinText)}\n<a href="http://other1.test/x">extlink</a> <a href="http://other2.test/x">extlink</a> <a href="http://other3.test/x">extlink</a>\n</div>\n<div class="plain2">\n${threeParas(LoseText)}\n<a href="${mkHref(1)}">extlink</a> <a href="${mkHref(2)}">extlink</a> <a href="${mkHref(3)}">extlink</a>\n</div>"""),
+      mustContain = Seq("zw1"), mustNotContain = Seq("zl0"))
+
+  // (caseSuffix, AttrPoints index, raw class, allowed same-direction
+  // co-matching rule indices) — sign read from the live table.
+  private val r3PointsClassRules: Seq[(String, Int, String, Set[Int])] = Seq(
+    ("ghost_word", 3, "ghost-pane", Set.empty[Int]),
+    ("itempanel_word", 4, "panel-3", Set.empty[Int]),
+    ("topics_word", 7, "topic-list", Set.empty[Int]),
+    ("social_any", 10, "socialite", Set.empty[Int]), // reAny hits the substring; \bsocial\b strip does NOT
+    ("ad_word", 11, "promo-ad-box", Set.empty[Int]),
+    ("bottom_word", 12, "bottom-zone", Set.empty[Int]),
+    ("dontprint_word", 13, "dontprint", Set.empty[Int]),
+    ("footer_word", 14, "non-footer", Set.empty[Int]), // strip foot(er) blocked by its (?<!non ) lookbehind
+    ("global_word", 15, "global-area", Set.empty[Int]),
+    ("hotspot_word", 16, "hotspot", Set.empty[Int]),
+    ("more_word", 20, "more-zone", Set.empty[Int]),
+    ("site_word", 22, "site-area", Set.empty[Int]),
+    ("embed_any", 24, "embedbox", Set.empty[Int]),
+    ("extras_word", 25, "extras", Set.empty[Int]),
+    ("main_word", 27, "main-area", Set.empty[Int]),
+    ("text_word", 28, "text", Set.empty[Int]),
+    ("article_word", 29, "the-article-zone", Set.empty[Int]),
+    ("article_prefix", 30, "articlewrap", Set.empty[Int]),
+    ("gallery_any", 31, "gallerybox", Set.empty[Int]),
+    ("photo_any", 32, "photobox", Set.empty[Int]),
+    ("mainimg_whole", 33, "mainimg", Set.empty[Int]),
+    ("page_whole", 35, "page", Set.empty[Int]),
+    ("readme_whole", 36, "readme", Set.empty[Int]),
+    ("content_word", 38, "content-zone", Set.empty[Int]),
+    ("primarycol_word", 39, "primary-column", Set.empty[Int]),
+    ("memeimage_whole", 44, "meme-image-holder", Set.empty[Int]),
+    ("video_word", 47, "video-pane", Set.empty[Int]),
+    ("snappreview_word", 49, "snap-preview", Set.empty[Int]),
+    ("postnum_whole", 52, "post-7", Set(48)),          // 'post 7' necessarily also fires word-'post…' (+10, same sign)
+    ("articlespan_whole", 53, "article-span-image", Set(29, 30)), // whole necessarily starts with 'article'
+    ("largeimage_whole", 55, "large-image", Set.empty[Int]),
+    ("player_whole", 57, "player", Set(47))            // whole 'player' necessarily fires word-(player|video) (+10, same sign)
+  )
+
+  // strip-shadowed points rules: same string is a strip rule too, so the
+  // evidence is via a scored-then-stripped CHILD of the candidate.
+  private val r3PointsViaChild: Seq[(String, Int, String)] = Seq(
+    ("icons_word", 17, "icons"),                        // -5; strip reWord(icons) shadows
+    ("moreatboingboing_whole", 45, "moreatboingboing")  // +10; strip reWhole(previously|moreatboingboing) shadows
+  )
+
+  // (caseSuffix, AttrPoints index, href template, allowed co-matches)
+  private val r3PointsHrefRules: Seq[(String, Int, Int => String, Set[Int])] = Seq(
+    ("href_delicious", 58, i => s"http://delicious.com/post?url=http://x$i.test/", Set.empty[Int]),
+    ("href_submit", 59, i => s"http://digg.com/submit?url=x$i", Set.empty[Int]),
+    ("href_fbshare", 60, i => s"http://www.facebook.com/share.php?u=x$i", Set(74)), // 'share.php' also fires word-share (-3, same sign)
+    ("href_buzz", 61, i => s"http://www.newsvine.com/buzz/x$i", Set.empty[Int]),
+    ("href_addthis", 63, i => s"http://www.addthis.com/bookmark.php?url=x$i", Set.empty[Int]),
+    ("href_tweetmeme", 64, i => s"http://api.tweetmeme.com/share?url=x$i", Set(74)),
+    ("href_diggthis", 65, i => s"http://digg.com/tools/diggthis?u=x$i", Set.empty[Int]),
+    ("href_fark", 66, i => s"http://cgi.fark.com/cgi/farkit.pl?u=x$i", Set.empty[Int]),
+    ("href_furl", 67, i => s"http://furl.net/storeIt.jsp?u=x$i", Set.empty[Int]),
+    ("href_fusion", 68, i => s"http://fusion.google.com/add?feedurl=x$i", Set.empty[Int]),
+    ("href_gbookmark", 69, i => s"http://www.google.com/bookmarks/mark?u=x$i", Set.empty[Int]),
+    ("href_myshare", 70, i => s"http://myshare.url.com/save?u=x$i", Set.empty[Int]),
+    ("href_nvtools", 71, i => s"http://www.newsvine.com/_tools/seed?u=x$i", Set.empty[Int]),
+    ("href_pheedo", 72, i => s"http://www.pheedo.com/click.phdo?i=x$i", Set.empty[Int]),
+    ("href_twstatus", 73, i => s"http://twitter.com/home?status=x$i", Set.empty[Int]),
+    ("href_share_word", 74, i => s"http://other$i.test/share/x", Set.empty[Int]),
+    ("href_sponsor_word", 75, i => s"http://other$i.test/sponsor/x", Set.empty[Int]),
+    ("href_feedads", 76, i => s"http://feedads.g.doubleclick.net/x$i", Set.empty[Int])
+  )
+  // href_feedads: the anchors are ALSO href-strip-rule 83 targets — scored
+  // (-2 decays up) then stripped; declared in the audit below.
+
+  val r3PointsCases: Seq[GCase] =
+    r3PointsClassRules.map { case (suffix, idx, cls, _) =>
+      if (graft.kernel.Patterns.AttrPoints(idx)._1 > 0) boostCase(suffix, cls)
+      else penaltyCase(suffix, cls)
+    } ++
+      r3PointsViaChild.map { case (suffix, idx, cls) =>
+        if (graft.kernel.Patterns.AttrPoints(idx)._1 > 0) boostViaChildCase(suffix, cls)
+        else penaltyViaChildCase(suffix, cls)
+      } ++
+      r3PointsHrefRules.map { case (suffix, _, mk, _) => hrefPenaltyCase(suffix, mk) } :+
+      // -5 'post date' always co-fires +10 word-'post…': differential A/B
+      diffCase("postdate_diff", "blog-post", "blog-post-date")
+
+  val r3PointsAudits: Seq[PointsAudit] =
+    r3PointsClassRules.map { case (suffix, idx, cls, extra) =>
+      PointsAudit(s"points_$suffix", "class", cls, idx, extra)
+    } ++
+      r3PointsViaChild.map { case (suffix, idx, cls) =>
+        PointsAudit(s"points_$suffix", "class", cls, idx, strippedToo = true)
+      } ++
+      r3PointsHrefRules.map { case (suffix, idx, mk, extra) =>
+        PointsAudit(s"points_$suffix", "href", mk(1), idx, extra,
+          strippedToo = idx == 76)
+      } ++ Seq(
+        PointsAudit("points_postdate_diff", "class", "blog-post-date", 21, Set(48),
+          differential = true),
+        // the diff case's WINNER class must fire ONLY the shared +10 rule
+        PointsAudit("points_postdate_diff#win", "class", "blog-post", 48)
+      )
+
+  // (caseSuffix, AttrStrip index, raw class)
+  private val r3StripClassRules: Seq[(String, Int, String)] = Seq(
+    ("addthis_any", 1, "addthis"),
+    ("disqus_any", 3, "disqus-thread"),
+    ("functions_any", 4, "functions"),
+    ("popular_any", 5, "popular"),
+    ("reportabuse_any", 7, "reportabuse"),
+    ("sharebar_any", 8, "sharebar"),
+    ("signin_any", 9, "signin"),
+    ("textad_any", 10, "text-ad"),
+    ("toolbox_any", 11, "toolbox"),
+    ("adblock_word", 14, "adblock"),
+    ("cnnftr_word", 17, "cnn_ftrcntnt"),
+    ("cnnstry_word", 18, "cnn_strybtmcntnt"),
+    ("fblike_word", 19, "facebook-like"),
+    ("foot_word", 20, "footer"),
+    ("horizposts_word", 22, "horizontal-posts"),
+    ("icons_word", 23, "icons"),
+    ("ilikethis_word", 24, "ilikethis"),
+    ("metavalue_word", 26, "metavalue"),
+    ("morearticles_word", 27, "more-articles"),
+    ("postlabels_word", 28, "post-labels"),
+    ("postshare_word", 29, "post-share"),
+    ("postmetadata_word", 30, "postmetadata"),
+    ("relatedtopics_word", 33, "relatedtopics"),
+    ("retweet_word", 35, "retweet"),
+    ("shopbox_word", 36, "shopbox"),
+    ("siteheader_word", 37, "siteheader"),
+    ("snapnopreview_word", 38, "snap-nopreview"),
+    ("wdtbutton_word", 42, "wdt_button"),
+    ("ads_whole", 44, "ad"),
+    ("articlebreak_whole", 45, "article-break"),
+    ("articleinline_whole", 46, "article-inline-runaround-left"),
+    ("authorinfo_whole", 47, "author-info"),
+    ("blipprnobr_whole", 48, "blippr-nobr"),
+    ("catsandtags_whole", 50, "catsandtags"),
+    ("dontprint_whole", 51, "dont-print"),
+    ("feedflare_whole", 52, "feedflare"),
+    ("morestories_whole", 53, "more-stories"),
+    ("postedby_whole", 55, "postedby"),
+    ("prevnext_whole", 56, "prevnext"),
+    ("previously_whole", 57, "previously2"),
+    ("promocolumn_whole", 58, "promocolumn"), // the rule text is 'promoColumn' but camelCase class splits in classid; all-lower matches (same in the reference)
+    ("recentposts_whole", 59, "recent-posts"),
+    ("rightrail_whole", 61, "rightrail"),
+    ("seealso_whole", 63, "seealso"),
+    ("sexybookmarks_whole", 64, "sexy-bookmarks"),
+    ("sociable_whole", 67, "sociable"),
+    ("storydate_whole", 68, "story-date"),
+    ("notes_whole", 69, "notes"),
+    ("postdetails_whole", 70, "post-details"),
+    ("scribol_whole", 80, "scribol")
+  )
+
+  // src/href/id strip rules: junk node with the matching attribute; the
+  // marker is a distinctive substring of the junk node's own markup.
+  private val r3StripAttrRules: Seq[(String, Int, String, Seq[String])] = Seq(
+    ("invitemedia_src", 72,
+      """<img src="http://ad.invitemedia.com/jnk.gif" width="300" height="250">""",
+      Seq("jnk")),
+    ("leenks_src", 74,
+      """<img src="http://www.leenks.com/webmasters/jnk.gif" width="120" height="60">""",
+      Seq("jnk")),
+    ("reddit_src", 75,
+      """<img src="http://www.reddit.com/static/jnk.png" width="70" height="20">""",
+      Seq("jnk")),
+    ("stumbleupon_src", 76,
+      """<img src="http://cdn.stumbleupon.com/jnk.png" width="16" height="16">""",
+      Seq("jnk")),
+    ("onebyone_src", 77,
+      """<img src="http://fixtures.test/img/1x1.trans.gif" width="1" height="1">""",
+      Seq("1x1.trans")),
+    ("hashid_id", 79,
+      """<div id="abcdefghijklmnopqrstuvwxyz0123456789a#1234567890123456"><p>this jnk block must be stripped</p></div>""",
+      Seq("jnk")),
+    ("qmgif_src", 82,
+      """<img src="http://fixtures.test/social/qm.gif" width="10" height="10">""",
+      Seq("qm.gif")),
+    ("feedproxy_href", 84,
+      """<a href="http://feedproxy.google.com/~r/jnkblog/art1">jnk feed link</a>""",
+      Seq("jnk")),
+    ("feedproxy_src", 85,
+      """<img src="http://feedproxy.google.com/1.0/jnk.gif" width="80" height="15">""",
+      Seq("jnk"))
+  )
+
+  val r3StripCases: Seq[GCase] =
+    r3StripClassRules.map { case (suffix, _, cls) => stripClassCase(suffix, cls) } ++
+      r3StripAttrRules.map { case (suffix, _, junk, markers) =>
+        val base = stripCase(suffix, junk)
+        base.copy(mustNotContain = markers)
+      }
+
+  val r3StripAudits: Seq[StripAudit] =
+    r3StripClassRules.map { case (suffix, idx, cls) =>
+      StripAudit(s"strip_$suffix", "class", cls, idx)
+    } ++ Seq(
+      StripAudit("strip_invitemedia_src", "src", "http://ad.invitemedia.com/jnk.gif", 72),
+      StripAudit("strip_leenks_src", "src", "http://www.leenks.com/webmasters/jnk.gif", 74),
+      StripAudit("strip_reddit_src", "src", "http://www.reddit.com/static/jnk.png", 75),
+      StripAudit("strip_stumbleupon_src", "src", "http://cdn.stumbleupon.com/jnk.png", 76),
+      StripAudit("strip_onebyone_src", "src", "http://fixtures.test/img/1x1.trans.gif", 77),
+      StripAudit("strip_hashid_id", "id", "abcdefghijklmnopqrstuvwxyz0123456789a#1234567890123456", 79),
+      StripAudit("strip_qmgif_src", "src", "http://fixtures.test/social/qm.gif", 82),
+      StripAudit("strip_feedproxy_href", "href", "http://feedproxy.google.com/~r/jnkblog/art1", 84),
+      StripAudit("strip_feedproxy_src", "src", "http://feedproxy.google.com/1.0/jnk.gif", 85)
+    )
+
+  // C5 tag-name scores and the TagSize edge semantics (util.py:197-213)
+  val r3StructuralCases: Seq[GCase] = Seq(
+    // C5: <article> itself scores +10 — the article element (FIRST) beats
+    // an identical plain div
+    c("structure_article_tag", "http://fixtures.test/structure/article_tag",
+      page(
+        s"""<div class="wrapone"><article class="plain">\n${threeParas(WinText)}\n</article></div>\n<div class="wraptwo"><div class="plain2">\n${threeParas(LoseText)}\n</div></div>"""),
+      mustContain = Seq("zw1"), mustNotContain = Seq("zl0")),
+    // C5: <section> scores +1
+    c("structure_section_tag", "http://fixtures.test/structure/section_tag",
+      page(
+        s"""<div class="wrapone"><section class="plain">\n${threeParas(WinText)}\n</section></div>\n<div class="wraptwo"><div class="plain2">\n${threeParas(LoseText)}\n</div></div>"""),
+      mustContain = Seq("zw1"), mustNotContain = Seq("zl0")),
+    // TagSize: width/height "100%" count as 600×400 = 240 000 px ⇒ +3
+    // (but NOT the ≥250 000 +4); the 200×200 img (40 000 px) scores 0
+    c("images_pct_size", "http://fixtures.test/images/pct_size",
+      page(
+        s"""<div class="wrapone"><div class="plain">\n${threeParas(WinText)}\n<img src="/i/p.jpg" width="100%" height="100%" alt="p">\n</div></div>\n<div class="wraptwo"><div class="plain2">\n${threeParas(LoseText)}\n<img src="/i/q.jpg" width="200" height="200" alt="q">\n</div></div>"""),
+      mustContain = Seq("zw1"), mustNotContain = Seq("zl0")),
+    // TagSize: style="width: Npx; height: Npx" is honored when the
+    // width/height attrs are absent (640×480 ⇒ +3+4)
+    c("images_style_size", "http://fixtures.test/images/style_size",
+      page(
+        s"""<div class="wrapone"><div class="plain">\n${threeParas(WinText)}\n<img src="/i/s.jpg" style="width: 640px; height: 480px" alt="s">\n</div></div>\n<div class="wraptwo"><div class="plain2">\n${threeParas(LoseText)}\n<img src="/i/t.jpg" alt="t">\n</div></div>"""),
+      mustContain = Seq("zw1"), mustNotContain = Seq("zl0")),
+    // TagSize: ANY dimension < 25 forces size = 1 (≤625 ⇒ −1.5), even when
+    // the other dimension is huge (20×900 is NOT 18 000 px)
+    c("images_tiny_one", "http://fixtures.test/images/tiny_one",
+      page(
+        s"""<div class="wrapone"><div class="plain">\n${threeParas(WinText)}\n<img src="/i/u.jpg" width="200" height="200" alt="u">\n</div></div>\n<div class="wraptwo"><div class="plain2">\n${threeParas(LoseText)}\n<img src="/i/v.jpg" width="20" height="900" alt="v">\n</div></div>"""),
+      mustContain = Seq("zw1"), mustNotContain = Seq("zl0")),
+    // C7: leaf text > 250 chars adds +4 on top of the >50 +3
+    c("blocks_gt250_bonus", "http://fixtures.test/blocks/gt250",
+      page({
+        val a = "zw1 " + ("a" * 247) // 251 chars: +3 +4
+        val b = "zl0 " + ("b" * 245) // 249 chars: +3
+        s"""<div class="wrapone"><div class="plain"><p>$a</p><p>$a</p><p>$a</p></div></div>\n<div class="wraptwo"><div class="plain2"><p>$b</p><p>$b</p><p>$b</p></div></div>"""
+      }),
+      mustContain = Seq("zw1"), mustNotContain = Seq("zl0")),
+    // C7: a leaf block whose only content is an anchor (textLen 0, no img)
+    // scores −2 (net −1 after the +1 out-of-domain link bonus)
+    c("blocks_empty_anchor", "http://fixtures.test/blocks/empty_anchor",
+      page(
+        s"""<div class="wrapone"><div class="plain">\n${threeParas(WinText)}\n<p></p><p></p><p></p>\n</div></div>\n<div class="wraptwo"><div class="plain2">\n${threeParas(LoseText)}\n<p><a href="http://other1.test/e">x</a></p><p><a href="http://other2.test/e">x</a></p><p><a href="http://other3.test/e">x</a></p>\n</div></div>"""),
+      mustContain = Seq("zw1"), mustNotContain = Seq("zl0"))
+  )
+
+  /** Coverage ledger: every AttrPoints index → the golden case that
+    * evidences it (or an entry in pointsRuleDead). GoldenRuleAuditSpec
+    * asserts the union is exactly 0 until 77.
+    */
+  val pointsRuleLedger: Map[Int, String] = Map(
+    0 -> "points_side_whole", 1 -> "points_email_word", 2 -> "points_twitter_word",
+    5 -> "points_overlay_word", 6 -> "points_print_word", 8 -> "points_biobox_whole",
+    9 -> "points_menu_any", 18 -> "points_lightbox_word", 19 -> "points_links_word",
+    23 -> "points_reltag", 26 -> "points_meta_word", 34 -> "points_permalink_whole",
+    37 -> "points_bodytext_word", 40 -> "points_single_word", 41 -> "points_articlecopy",
+    42 -> "points_entry_word", 46 -> "points_story_whole", 48 -> "points_postbody_word",
+    50 -> "points_wide_word", 51 -> "points_meat_whole", 54 -> "points_hentry",
+    56 -> "points_storyblock", 62 -> "points_jshref",
+    21 -> "points_postdate_diff"
+  ) ++ r3PointsClassRules.map { case (s, i, _, _) => i -> s"points_$s" }.toMap ++
+    r3PointsViaChild.map { case (s, i, _) => i -> s"points_$s" }.toMap ++
+    r3PointsHrefRules.map { case (s, i, _, _) => i -> s"points_$s" }.toMap
+
+  /** Rules that are DEAD IN THE REFERENCE: classid synthesis
+    * (patterns.py:251-269 separate_words) replaces '-' and '_' with
+    * spaces BEFORE matching, so patterns containing a literal hyphen or
+    * underscore can never fire. Replicated faithfully; no golden page can
+    * exercise them (in the reference either).
+    */
+  val pointsRuleDead: Map[Int, String] = Map(
+    43 -> "reWord('usertext-body'): hyphen cannot survive separate_words (patterns.py:92)")
+
+  val stripRuleLedger: Map[Int, String] = Map(
+    0 -> "strip_adsense_any", 2 -> "strip_comment_word", 12 -> "strip_nav_word",
+    13 -> "strip_authorbox_word", 15 -> "strip_archive_word", 16 -> "strip_byline_word",
+    21 -> "strip_hidden_word", 25 -> "strip_logo_word", 31 -> "strip_readmore_word",
+    32 -> "strip_related_word", 34 -> "strip_replies_word", 39 -> "strip_social_word",
+    40 -> "strip_tags_word", 41 -> "strip_talkback_word", 43 -> "strip_widget_word",
+    49 -> "strip_breadcrumb_whole", 54 -> "strip_pagination_whole",
+    60 -> "strip_respond_whole", 62 -> "strip_searchbar_whole",
+    65 -> "strip_share_whole", 66 -> "strip_sidebar_whole",
+    71 -> "strip_doubleclick_src", 73 -> "strip_quantserve_src",
+    78 -> "strip_smilies_src", 81 -> "strip_display_none", 83 -> "strip_feedads_href"
+  ) ++ r3StripClassRules.map { case (s, i, _) => i -> s"strip_$s" }.toMap ++
+    r3StripAttrRules.map { case (s, i, _, _) => i -> s"strip_$s" }.toMap
+
+  val stripRuleDead: Map[Int, String] = Map(
+    6 -> "reAny('^post_(\\d+_)?info'): underscores cannot survive separate_words (patterns.py:136)")
+
   val all: Seq[GCase] =
     pointsCases ++ stripCases ++ mungeCases ++ routeCases ++
-      structuralCases ++ encodingCases ++ degenerateCases
+      structuralCases ++ encodingCases ++ degenerateCases ++
+      r3PointsCases ++ r3StripCases ++ r3StructuralCases
 
   val byName: Map[String, GCase] = all.map(g => g.name -> g).toMap
 }
