@@ -564,4 +564,24 @@ object Hyphenate {
     pieces += cur.toString
     pieces.toSeq
   }
+
+  /** U+00AD soft hyphen — the join separator clean.py:241 uses. */
+  val Shy = "­"
+
+  // Joined-form memo (word -> pieces.mkString(SHY)): the munge pass only
+  // ever needs the joined string, so caching it skips the per-word Seq +
+  // mkString allocation on every repeat (Zipfian text → >95% hit rate).
+  private val shyCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** `hyphenateWord(word).mkString(Shy)` with its own memo. */
+  def hyphenateWordShy(word: String): String = {
+    if (word.length <= 4) return word
+    val cached = shyCache.get(word)
+    if (cached != null) return cached
+    val res = hyphenateWord(word).mkString(Shy)
+    if (word.length <= MaxCachedWordLen && shyCache.size < MaxCacheEntries)
+      shyCache.put(word, res)
+    res
+  }
 }

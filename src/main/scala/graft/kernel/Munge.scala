@@ -86,11 +86,22 @@ object Munge {
     "a", "center", "div", "li", "ol", "p", "table", "td", "th", "tr",
     "span", "ul", "h1", "h2", "h3", "h4", "h5", "h6")
 
+  /** `strip(tag.text)` is non-empty ⟺ some VISIBLE text descendant has a
+    * non-space char — checked with an early-exit walk instead of
+    * materializing the whole subtree's text per candidate (r03 perf task;
+    * the cascade re-ran `.text` for every ancestor).
+    */
+  private def hasVisibleNonSpaceText(tag: Elem): Boolean =
+    tag.descendants.exists {
+      case t: Text if t.visible => t.data.exists(c => !Py.isSpace(c))
+      case _                    => false
+    }
+
   /** clean.py:288-309 (M4) — strip empty tags, cascading to parents. */
   def mungeStripEmpties(root: Elem): Unit = {
     def stripIfEmpty(tag: Elem): Unit = {
       if (tag == null || !EmptyStripTags.contains(tag.name)) return
-      if (Py.strip(tag.text).nonEmpty) return
+      if (hasVisibleNonSpaceText(tag)) return
       if (tag.find((e: Elem) => e.name != "br" && e.name != "hr") != null)
         return
       val parent = tag.parent
@@ -120,9 +131,18 @@ object Munge {
     * attrs (root_tag.findAll(True) excludes the root — reference quirk,
     * observable in production output; replicated).
     */
+  private val StripAttrSet: Set[String] = StripAttrs.toSet
+
   def mungeStripAttrs(root: Elem): Unit = {
-    for (tag <- root.findAll((_: Elem) => true); attr <- StripAttrs)
-      tag.delAttr(attr)
+    // iterate the attrs PRESENT on each tag (usually 0-3) instead of
+    // probing all 22 strip keys per tag; same removals ('onchange ' can
+    // never be a parsed attr name, so the trailing-space quirk holds)
+    for (tag <- root.descendants) tag match {
+      case e: Elem =>
+        val doomed = e.attrs.keysIterator.filter(StripAttrSet.contains).toList
+        doomed.foreach(e.delAttr)
+      case _ =>
+    }
   }
 
   /** clean.py:169-190 (M8) — absolutize href/src/object-data/param-movie,
@@ -135,18 +155,22 @@ object Munge {
       try tag.setAttr(attr, Py.urljoin(baseUrl, Py.strip(v)))
       catch { case _: Exception => } // ValueError path: leave as-is
     }
-    for (t <- parent.findAll((e: Elem) => e.hasAttr("href"))) fix(t, "href")
-    if (parent.hasAttr("href")) fix(parent, "href")
-    for (t <- parent.findAll((e: Elem) => e.hasAttr("src"))) fix(t, "src")
-    if (parent.hasAttr("src")) fix(parent, "src")
-    for (t <- parent.findAll((e: Elem) => e.name == "object" && e.hasAttr("data")))
-      fix(t, "data")
-    if (parent.name == "object" && parent.hasAttr("data")) fix(parent, "data")
-    for (t <- parent.findAll((e: Elem) =>
-           e.name == "param" && e.attr("name") == "movie" && e.hasAttr("value")))
-      fix(t, "value")
-    if (parent.name == "param" && parent.attr("name") == "movie" &&
-        parent.hasAttr("value")) fix(parent, "value")
+    // one traversal applying all four selectors (the reference runs four
+    // findAll passes, clean.py:169-190, but the fixes touch DISJOINT attrs
+    // and never mutate the tree shape, so per-node fusion is
+    // order-equivalent)
+    def fixNode(t: Elem): Unit = {
+      if (t.hasAttr("href")) fix(t, "href")
+      if (t.hasAttr("src")) fix(t, "src")
+      if (t.name == "object" && t.hasAttr("data")) fix(t, "data")
+      if (t.name == "param" && t.attr("name") == "movie" && t.hasAttr("value"))
+        fix(t, "value")
+    }
+    for (n <- parent.descendants) n match {
+      case e: Elem => fixNode(e)
+      case _       =>
+    }
+    fixNode(parent)
   }
 
   /** clean.py:249-267 (M9) */
@@ -172,61 +196,98 @@ object Munge {
     }
   }
 
-  private val ReEntitySplit = Pattern.compile("&[^;]{2,6};")
-  private val SoftHyphen = "­"
+  private val PreOnly = Set("pre")
 
   /** clean.py:223-241 (M11) — hyphenate every text node outside <pre>;
     * entity-looking runs pass through; whitespace collapses to single
     * spaces. NB replaces Comment nodes with plain text (reference quirk on
     * non-generic paths where comments survive).
+    *
+    * Single forward scan per text node (r03 perf task): the reference's
+    * `re.split(r'(&[^;]{2,6};)')` + `re.split(r'\s+')` + per-word join is
+    * reproduced exactly but without Matcher/part-list/word-list
+    * allocations — this pass was ~30% of munge time on realistic pages.
     */
   def mungeHyphenate(root: Elem): Unit = {
     for (text <- root.findTexts) {
-      if (text.findParent(Set("pre")) == null) {
+      if (text.findParent(PreOnly) == null) {
         val s = text.data
-        val out = new StringBuilder
-        // re.split(r'(&[^;]{2,6};)', s) with captured separators:
-        val m = ReEntitySplit.matcher(s)
-        var pos = 0
-        val parts = mutable.ArrayBuffer.empty[String]
-        while (m.find()) {
-          parts += s.substring(pos, m.start())
-          parts += s.substring(m.start(), m.end())
-          pos = m.end()
-        }
-        parts += s.substring(pos)
-        for (part <- parts if part.nonEmpty) {
-          if (part.charAt(0) == '&') out.append(part)
-          else {
-            val words = splitPyWhitespace(part)
-            out.append(words.map(w =>
-              Hyphenate.hyphenateWord(w).mkString(SoftHyphen)).mkString(" "))
-          }
-        }
-        text.replaceWith(new Text(out.toString))
+        val out = hyphenateRun(s)
+        // unchanged plain Text nodes can stay in place; subclasses
+        // (Comment/RawText) must still be downgraded to plain Text — the
+        // reference's unicode() coercion changes their serialization
+        if (out != s || text.getClass != classOf[Text])
+          text.replaceWith(new Text(out))
       }
     }
   }
 
-  /** Python re.split(r'\s+', s) — unicode whitespace; leading separator
-    * yields an initial empty string.
+  /** `re.split(r'(&[^;]{2,6};)')` with captured separators, entity parts
+    * verbatim, word parts whitespace-collapsed + hyphenated — as ONE scan.
+    * An entity match is `&` + 2..6 non-`;` chars + `;` starting at the
+    * earliest possible `&` (greedy `[^;]{2,6}` can only ever stop at the
+    * first `;` or at 6 chars, so no backtracking case survives in which a
+    * shorter count would match — verified against the regex semantics).
     */
-  private def splitPyWhitespace(s: String): Seq[String] = {
-    val out = mutable.ArrayBuffer.empty[String]
-    val cur = new StringBuilder
-    var inWs = false
-    var first = true
-    for (c <- s) {
-      if (Py.isSpace(c)) {
-        if (!inWs) {
-          out += cur.toString; cur.clear(); inWs = true
-        }
-      } else {
-        cur.append(c); inWs = false; first = false
-      }
+  private def hyphenateRun(s: String): String = {
+    val n = s.length
+    val out = new StringBuilder(n + (n >> 3))
+    var i = 0
+    var segStart = 0
+    while (i < n) {
+      if (s.charAt(i) == '&') {
+        var j = i + 1
+        var k = 0
+        while (k < 6 && j < n && s.charAt(j) != ';') { j += 1; k += 1 }
+        if (k >= 2 && j < n && s.charAt(j) == ';') {
+          appendHyphenatedWords(s, segStart, i, out)
+          appendRange(s, i, j + 1, out) // the entity, untouched
+          i = j + 1
+          segStart = i
+        } else i += 1
+      } else i += 1
     }
-    out += cur.toString
-    out.toSeq
+    appendHyphenatedWords(s, segStart, n, out)
+    out.toString
+  }
+
+  /** `' '.join(hyphenate(w) for w in re.split(r'\s+', part))` for the
+    * substring [from, until): each whitespace run becomes one space (a
+    * leading/trailing run yields a leading/trailing space via the empty
+    * first/last token, exactly like Python's split-with-leading-empty).
+    * Empty parts are skipped entirely (the reference's `if part`).
+    */
+  private def appendHyphenatedWords(
+      s: String, from: Int, until: Int, out: StringBuilder): Unit = {
+    if (from >= until) return
+    var i = from
+    var wordStart = -1
+    var inWs = false
+    while (i < until) {
+      if (Py.isSpace(s.charAt(i))) {
+        if (wordStart >= 0) {
+          appendHyphenated(s, wordStart, i, out); wordStart = -1
+        }
+        if (!inWs) { out.append(' '); inWs = true }
+      } else {
+        if (wordStart < 0) wordStart = i
+        inWs = false
+      }
+      i += 1
+    }
+    if (wordStart >= 0) appendHyphenated(s, wordStart, until, out)
+  }
+
+  private def appendRange(
+      s: String, from: Int, until: Int, out: StringBuilder): Unit = {
+    var k = from
+    while (k < until) { out.append(s.charAt(k)); k += 1 }
+  }
+
+  private def appendHyphenated(
+      s: String, from: Int, until: Int, out: StringBuilder): Unit = {
+    if (until - from <= 4) appendRange(s, from, until, out) // ≤4 never splits
+    else out.append(Hyphenate.hyphenateWordShy(s.substring(from, until)))
   }
 
   /** clean.py:270-272 (M12) */
