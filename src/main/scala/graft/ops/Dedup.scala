@@ -62,12 +62,19 @@ object Dedup {
     * h_i(s) = xxhash64(i, xxhash64(s)) — 64 long-hashes instead of 64
     * string-hashes per shingle.
     */
-  def minhashSignatures(df: DataFrame): DataFrame = {
+  def minhashSignatures(df: DataFrame): DataFrame =
+    minhashSignaturesOnShingles(shingles(df))
+
+  /** Signature aggregation over a prebuilt (doc_id, shingle) relation —
+    * lets a pipeline share ONE shingle pass between the signature stage
+    * and the Jaccard verify stage (r03: the double shingle pass dominated
+    * t13's runtime).
+    */
+  def minhashSignaturesOnShingles(sh: DataFrame): DataFrame = {
     val aggs: Seq[Column] = (0 until NumHashes).map { i =>
       min(xxhash64(lit(i), col("hs"))).as(s"h$i")
     }
-    shingles(df)
-      .withColumn("hs", xxhash64(col("shingle")))
+    sh.withColumn("hs", xxhash64(col("shingle")))
       .groupBy(col("doc_id"))
       .agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"),
@@ -78,8 +85,11 @@ object Dedup {
   def minhashLsh(spark: SparkSession, sfDir: String, th: Double = 0.5): DataFrame =
     minhashLshOn(docs(spark, sfDir), th)
 
-  def minhashLshOn(docsDf: DataFrame, th: Double): DataFrame = {
-    val sig = minhashSignatures(docsDf)
+  def minhashLshOn(docsDf: DataFrame, th: Double): DataFrame =
+    minhashLshOnShingles(shingles(docsDf), th)
+
+  def minhashLshOnShingles(sh: DataFrame, th: Double): DataFrame = {
+    val sig = minhashSignaturesOnShingles(sh)
     val banded = sig.selectExpr(
       "doc_id", "sig",
       s"""posexplode(transform(sequence(0, ${Bands - 1}),
@@ -161,8 +171,11 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, sfDir: String, th: Double = 0.05): DataFrame =
     ngramJaccardOn(docs(spark, sfDir), th)
 
-  def ngramJaccardOn(docsDf: DataFrame, th: Double): DataFrame = {
-    val s = shingles(docsDf).dropDuplicates("doc_id", "shingle")
+  def ngramJaccardOn(docsDf: DataFrame, th: Double): DataFrame =
+    ngramJaccardOnShingles(shingles(docsDf), th)
+
+  def ngramJaccardOnShingles(sh: DataFrame, th: Double): DataFrame = {
+    val s = sh.dropDuplicates("doc_id", "shingle")
     val sizes = s.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val common = s.select(col("doc_id").as("id_a"), col("shingle"))
       .join(s.select(col("doc_id").as("id_b"), col("shingle")), Seq("shingle"))
@@ -289,6 +302,13 @@ object Dedup {
       .filter(col("doc_id") === col("keep_id"))
       .select("doc_id", "text")
       .cache()
+    // NB the shingle relation is deliberately NOT cached/shared between
+    // the signature and verify stages: r03 measured sharing it (cache of
+    // the exploded ~n×1.5k-row relation) at 4× SLOWER than recomputing —
+    // the explode is cheap codegen off cached survivors, the verify stage
+    // explodes only the (small) candidate-doc subset, and materializing
+    // the full exploded relation breaks the fused explode→partial-agg
+    // pipeline. Recompute wins at every scale where candidates ≪ corpus.
     val candidates = minhashLshOn(survivors, estTh).select("id_a", "id_b").cache()
     val verified = ngramJaccardOn(
       survivors.join(
