@@ -4,10 +4,10 @@ import java.nio.file.{Files, Paths}
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Real-decoder specs for the multimodal operators (VERDICT r01 task 9):
-  * the image path decodes actual PNG pixels (committed fixture), the
-  * audio path parses actual PCM WAV samples; only video remains a
-  * documented stub.
+/** Real-decoder specs for the multimodal operators (VERDICT r01 task 9 +
+  * r02 task 7): the image path decodes actual PNG pixels (committed
+  * fixture), the audio path parses actual PCM WAV samples, the video path
+  * parses the actual ISO-BMFF box structure (committed fixture).
   */
 class MultimodalSpec extends AnyFunSuite {
 
@@ -53,13 +53,62 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeWavFeatures(Array[Byte](1, 2, 3)).isEmpty)
   }
 
-  test("decode router: image→pixels, audio→samples, video→stub fallback") {
+  test("WAV decode: corrupt chunk lengths are rejected, never loop") {
+    val wav = Multimodal.synthWav(3)
+    // negative length on the first (fmt) chunk: the walk would step
+    // backwards without the ADVICE-r02 guard
+    val evil = wav.clone()
+    val lenPos = 16 // 'fmt ' chunk length field
+    evil(lenPos) = -1; evil(lenPos + 1) = -1; evil(lenPos + 2) = -1; evil(lenPos + 3) = -1
+    assert(Multimodal.decodeWavFeatures(evil).isEmpty)
+    // negative length on the data chunk itself
+    val evil2 = wav.clone()
+    val dataLenPos = 40
+    evil2(dataLenPos + 3) = 0x80.toByte // big-endian? no: LE → sign bit in byte 3
+    assert(Multimodal.decodeWavFeatures(evil2).isEmpty)
+  }
+
+  test("MP4 box walk: committed sample.mp4 yields the frozen container metadata") {
+    val bytes = Files.readAllBytes(
+      Paths.get("src/test/resources/multimodal/sample.mp4"))
+    val m = Multimodal.parseMp4(bytes).get
+    assert(m.brand == "isom")
+    assert(m.timescale == 1000L)
+    assert(m.durationSecs == 4.5) // synthMp4(7): 1000 + (7%120)*500 ms
+    assert(m.trackCount == 2)     // 1 + 7%2
+    assert(m.width == 880.0)      // 320 + (7%8)*80, from tkhd 16.16 fixed
+    assert(m.height == 360.0)     // 240 + (7%5)*60
+    // the committed fixture IS synthMp4(7): synthesis is stable
+    assert(Multimodal.synthMp4(7).sameElements(bytes))
+    // features carry the parsed metadata, not just byte statistics
+    val feat = Multimodal.decodeMp4Features(bytes).get
+    assert(feat(1) == 2.0) // track count dim
+    assert(math.abs(feat(5) - 880.0 / 360.0) < 1e-9) // aspect ratio dim
+    assert(!feat.sameElements(Multimodal.stubDecode(bytes)))
+  }
+
+  test("MP4 box walk: corrupt/truncated/non-mp4 payloads are rejected") {
+    assert(Multimodal.parseMp4("plainly not an mp4 file at all".getBytes).isEmpty)
+    val good = Multimodal.synthMp4(11)
+    assert(Multimodal.parseMp4(good).nonEmpty)
+    // truncate inside moov: walk fails, no metadata invented
+    assert(Multimodal.parseMp4(good.take(good.length / 2)).isEmpty)
+    // zero-size box at the top must not loop forever
+    val zeroBox = good.clone()
+    zeroBox(0) = 0; zeroBox(1) = 0; zeroBox(2) = 0; zeroBox(3) = 0
+    Multimodal.parseMp4(zeroBox) // must terminate (size=0 = to-end form)
+  }
+
+  test("decode router: image→pixels, audio→samples, video→boxes, garbage→stub") {
     val png = Multimodal.synthPng(9, 8, 8)
     assert(Multimodal.decode("image/png", png)
       .sameElements(Multimodal.decodeImageFeatures(png).get))
     val wav = Multimodal.synthWav(9)
     assert(Multimodal.decode("audio/wav", wav)
       .sameElements(Multimodal.decodeWavFeatures(wav).get))
+    val mp4 = Multimodal.synthMp4(9)
+    assert(Multimodal.decode("video/mp4", mp4)
+      .sameElements(Multimodal.decodeMp4Features(mp4).get))
     val blob = "opaque video bytes".getBytes
     assert(Multimodal.decode("video/mp4", blob)
       .sameElements(Multimodal.stubDecode(blob)))
