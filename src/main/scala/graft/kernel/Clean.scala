@@ -105,21 +105,40 @@ object Clean {
     FLAGS)
 
   /** Decode the html payload: meta-charset regex (clean.py:76) over an
-    * ISO-8859-1 preview, else UTF-8; undecodable bytes → U+FFFD
-    * (documented deviation from chardet, SURVEY.md §0.1).
+    * ISO-8859-1 preview; without a declared charset, a DETERMINISTIC
+    * discriminator stands in for the reference's chardet sniff (r03,
+    * VERDICT task 8): if the bytes are strictly valid UTF-8 decode as
+    * UTF-8, otherwise decode as windows-1252 — UTF-8 multibyte sequences
+    * are self-validating (random Latin-1 text is valid UTF-8 with
+    * probability ~0 per non-ASCII byte pair), and cp1252 is chardet's own
+    * answer for the overwhelmingly common non-UTF-8 western case (it is a
+    * superset of ISO-8859-1 on all printable bytes). Remaining deviation
+    * from chardet: multi-byte east-asian encodings without a meta tag
+    * still decode as cp1252 (documented, SURVEY.md §0.1). Undecodable
+    * bytes → U+FFFD.
     */
   def decodeHtml(bytes: Array[Byte]): String = {
     val preview = new String(bytes, StandardCharsets.ISO_8859_1)
     val m = ReMetaCharset.matcher(preview)
-    val cs: Charset =
+    val declared: Option[Charset] =
       if (m.find()) {
-        try Charset.forName(m.group(1))
-        catch { case _: Exception => StandardCharsets.UTF_8 }
-      } else StandardCharsets.UTF_8
+        try Some(Charset.forName(m.group(1)))
+        catch { case _: Exception => Some(StandardCharsets.UTF_8) }
+      } else None
+    val cs: Charset = declared.getOrElse {
+      if (isValidUtf8(bytes)) StandardCharsets.UTF_8
+      else Charset.forName("windows-1252")
+    }
     val dec = cs.newDecoder()
       .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
       .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
     dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+  }
+
+  private def isValidUtf8(bytes: Array[Byte]): Boolean = {
+    val dec = StandardCharsets.UTF_8.newDecoder() // REPORT by default
+    try { dec.decode(java.nio.ByteBuffer.wrap(bytes)); true }
+    catch { case _: java.nio.charset.CharacterCodingException => false }
   }
 
   // ------------------------------------------------------------- pipeline

@@ -367,6 +367,19 @@ object GoldenCases {
       ("<html><head><meta charset=\"bogus-enc-42\"><title>fixture</title></head><body>" +
         s"""<div class="storyblock"><p>café zw1 $WinText</p><p>$WinText</p></div>""" +
         "</body></html>").getBytes("UTF-8"),
+      mustContain = Seq("café", "zw1")),
+    // NO meta charset + invalid-UTF-8 bytes → the r03 deterministic
+    // discriminator decodes windows-1252 (the chardet-gap common case)
+    GCase("enc_latin1_nometa", "http://fixtures.test/enc/latin1nometa",
+      ("<html><head><title>fixture</title></head><body>" +
+        s"""<div class="storyblock"><p>café zw1 $WinText</p><p>$WinText</p></div>""" +
+        "</body></html>").getBytes("ISO-8859-1"),
+      mustContain = Seq("café", "zw1")),
+    // NO meta charset + strictly-valid UTF-8 multibyte bytes → UTF-8
+    GCase("enc_utf8_nometa", "http://fixtures.test/enc/utf8nometa",
+      ("<html><head><title>fixture</title></head><body>" +
+        s"""<div class="storyblock"><p>café zw1 $WinText</p><p>$WinText</p></div>""" +
+        "</body></html>").getBytes("UTF-8"),
       mustContain = Seq("café", "zw1"))
   )
 
