@@ -342,11 +342,47 @@ object Patterns {
   def textLen(tag: Elem): Int = {
     val sb = new StringBuilder
     for (t <- tag.findTexts) {
-      if (t.findParent(AOrScript) == null) sb.append(Py.strip(t.data))
+      if (t.findParent(AOrScript) == null) appendStripped(t.data, sb)
     }
-    var text = ReWsRun.matcher(sb.toString).replaceAll(" ")
-    text = ReEntity.matcher(text).replaceAll("")
-    text.length
+    // length after collapsing [ \t]+ runs to ' ' then dropping
+    // &[^;]{2,6}; sequences — computed by scan instead of two regex
+    // replaceAll passes (r03 perf; this runs once per leaf block).
+    // Entity matching must see the COLLAPSED text (a run inside
+    // [^;]{2,6} collapses to one char and can enable a match), so
+    // collapse materializes once and the entity pass only counts.
+    val collapsed = new StringBuilder(sb.length)
+    var i = 0
+    var inRun = false
+    while (i < sb.length) {
+      val c = sb.charAt(i)
+      if (c == ' ' || c == '\t') {
+        if (!inRun) collapsed.append(' ')
+        inRun = true
+      } else { collapsed.append(c); inRun = false }
+      i += 1
+    }
+    val n = collapsed.length
+    var len = 0
+    i = 0
+    while (i < n) {
+      if (collapsed.charAt(i) == '&') {
+        var j = i + 1
+        var k = 0
+        while (k < 6 && j < n && collapsed.charAt(j) != ';') { j += 1; k += 1 }
+        if (k >= 2 && j < n && collapsed.charAt(j) == ';') i = j + 1 // entity: length 0
+        else { len += 1; i += 1 }
+      } else { len += 1; i += 1 }
+    }
+    len
+  }
+
+  /** Python str.strip() of `s` appended without the substring copy. */
+  private def appendStripped(s: String, sb: StringBuilder): Unit = {
+    var a = 0
+    var b = s.length
+    while (a < b && Py.isSpace(s.charAt(a))) a += 1
+    while (b > a && Py.isSpace(s.charAt(b - 1))) b -= 1
+    while (a < b) { sb.append(s.charAt(a)); a += 1 }
   }
 
   type HitCounter =
