@@ -118,6 +118,20 @@ object Clean {
     * bytes → U+FFFD.
     */
   def decodeHtml(bytes: Array[Byte]): String = {
+    // UTF-16 BOMs first: the meta sniff can't see "charset" through the
+    // interleaved NULs and UTF-16 bytes are never valid UTF-8, so without
+    // this branch such pages decoded as cp1252 soup. (A UTF-8 BOM stays on
+    // the UTF-8 path with U+FEFF retained — frozen by golden `enc_bom`.)
+    if (bytes.length >= 2) {
+      val b0 = bytes(0) & 0xff
+      val b1 = bytes(1) & 0xff
+      if ((b0 == 0xff && b1 == 0xfe) || (b0 == 0xfe && b1 == 0xff)) {
+        val dec16 = StandardCharsets.UTF_16.newDecoder() // BOM-driven LE/BE
+          .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+          .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+        return dec16.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+      }
+    }
     val preview = new String(bytes, StandardCharsets.ISO_8859_1)
     val m = ReMetaCharset.matcher(preview)
     val declared: Option[Charset] =

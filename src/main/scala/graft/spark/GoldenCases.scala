@@ -380,6 +380,18 @@ object GoldenCases {
       ("<html><head><title>fixture</title></head><body>" +
         s"""<div class="storyblock"><p>café zw1 $WinText</p><p>$WinText</p></div>""" +
         "</body></html>").getBytes("UTF-8"),
+      mustContain = Seq("café", "zw1")),
+    // UTF-16LE with BOM: meta sniff is NUL-blind and the bytes are never
+    // valid UTF-8 — the BOM branch must decode it (r03)
+    GCase("enc_utf16le_bom", "http://fixtures.test/enc/utf16le",
+      ("﻿<html><head><title>fixture</title></head><body>" +
+        s"""<div class="storyblock"><p>café zw1 $WinText</p><p>$WinText</p></div>""" +
+        "</body></html>").getBytes("UTF-16LE"),
+      mustContain = Seq("café", "zw1")),
+    GCase("enc_utf16be_bom", "http://fixtures.test/enc/utf16be",
+      ("﻿<html><head><title>fixture</title></head><body>" +
+        s"""<div class="storyblock"><p>café zw1 $WinText</p><p>$WinText</p></div>""" +
+        "</body></html>").getBytes("UTF-16BE"),
       mustContain = Seq("café", "zw1"))
   )
 

@@ -11,6 +11,34 @@ class PlanSpec extends SparkSpec {
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  test("ANN/dedup operators never plan an all-pairs product") {
+    // the scale contract for every similarity/dedup operator in the
+    // driver set: candidate generation is an equi-join on a narrow key
+    // (band, chunk, bucket, cell) — a CartesianProduct or nested-loop
+    // join anywhere is a 100-TB scale-killer
+    val qs = Seq(
+      graft.ops.Dedup.minhashLsh(spark, sf001),
+      graft.ops.Dedup.simhashDedup(spark, sf001),
+      graft.ops.Dedup.embeddingCosine(spark, sf001),
+      graft.ops.Dedup.dedupPipeline(spark, sf001),
+      graft.ops.Similarity.annLsh(spark, sf001),
+      graft.ops.Similarity.annIvf(spark, sf001))
+    for (q <- qs) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"cartesian in:\n${p.take(2000)}")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"nested loop in:\n${p.take(2000)}")
+    }
+  }
+
+  test("t1 exact dedup aggregates with a map-side partial (one shuffle)") {
+    val p = plan(graft.ops.Dedup.exact(spark, sf001))
+    val exchanges = p.linesIterator
+      .count(l => l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges == 1, s"expected exactly 1 shuffle:\n$p")
+    assert(p.contains("partial_"), s"no map-side partial agg:\n$p")
+  }
+
   test("d5: dimension joins are broadcast (no shuffle on the fact side)") {
     val p = plan(Relational.d5BroadcastJoin(spark, sf001))
     assert(p.contains("BroadcastHashJoin"))
