@@ -231,12 +231,27 @@ object Patterns {
   private val ReCamel1 = Pattern.compile("(.)([A-Z][a-z]+)")
   private val ReCamel2 = Pattern.compile("([a-z0-9])([A-Z])")
 
+  // Global memo for separateWords: class/id vocabulary is Zipfian across
+  // a web corpus, so the two camelCase regex passes + two replaces +
+  // lowercase re-run on the same strings endlessly. Pure function,
+  // bounded, safe across Spark task threads (same pattern as the
+  // Hyphenate memo).
+  private val SepMemoMax = 1 << 17
+  private val SepMemoMaxKeyLen = 128
+  private val sepMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** patterns.py:251-269 — camelCase/underscore/hyphen → spaced lowercase. */
   def separateWords(s: String): String = {
+    val cached = sepMemo.get(s)
+    if (cached != null) return cached
     var r = ReCamel1.matcher(s).replaceAll("$1 $2")
     r = ReCamel2.matcher(r).replaceAll("$1 $2")
     r = r.replace('_', ' ').replace('-', ' ')
-    r.toLowerCase
+    val res = r.toLowerCase
+    if (s.length <= SepMemoMaxKeyLen && sepMemo.size < SepMemoMax)
+      sepMemo.put(s, res)
+    res
   }
 
   /** util.py:61-85 — depth-decayed ancestor score propagation.
@@ -409,28 +424,40 @@ object Patterns {
         rules.map(r => "(?:" + r._2.pattern + ")").mkString("|"), FLAGS)
     }
 
-  /** Per-document evaluation context (memoization caches + hit counter). */
+  // Rule-match results are pure functions of the classid string, and the
+  // classid vocabulary repeats across documents (Zipfian), so the memos
+  // are GLOBAL bounded concurrent maps rather than per-document (r03:
+  // per-document caches re-ran ~163 regex finds per distinct classid per
+  // document). Values are immutable; threads may race benignly.
+  private val RuleMemoMax = 1 << 17
+  private val RuleMemoMaxKeyLen = 256
+  private val pointMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Int]]()
+  private val stripMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Per-document evaluation context (hit counter; match memos are global). */
   final class Ctx {
     val hc: HitCounter = mutable.LinkedHashMap.empty
-    private val pointCache = new java.util.HashMap[String, Array[Int]]()
-    private val stripCache = new java.util.HashMap[String, java.lang.Boolean]()
 
     /** Indices (into AttrPoints) of classid rules matching `value`. */
     def classidPointMatches(value: String): Array[Int] = {
-      val got = pointCache.get(value)
+      val got = pointMemo.get(value)
       if (got != null) return got
       val idxs = PointRulesByAttr.getOrElse("classid", Array.empty[Int])
         .filter(i => AttrPoints(i)._3.matcher(value).find())
-      pointCache.put(value, idxs)
+      if (value.length <= RuleMemoMaxKeyLen && pointMemo.size < RuleMemoMax)
+        pointMemo.put(value, idxs)
       idxs
     }
 
     /** Any classid strip rule matches `value`? */
     def classidStripMatches(value: String): Boolean = {
-      val got = stripCache.get(value)
+      val got = stripMemo.get(value)
       if (got != null) return got.booleanValue()
       val m = StripCombinedByAttr("classid").matcher(value).find()
-      stripCache.put(value, java.lang.Boolean.valueOf(m))
+      if (value.length <= RuleMemoMaxKeyLen && stripMemo.size < RuleMemoMax)
+        stripMemo.put(value, java.lang.Boolean.valueOf(m))
       m
     }
   }
