@@ -116,23 +116,45 @@ object Entities {
   def unescape(s: String): String = {
     if (s.indexOf('&') < 0) return s
     val sb = new StringBuilder(s.length)
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c != '&') { sb.append(c); i += 1 }
-      else {
-        val consumed = decodeRef(s, i, sb)
-        if (consumed == 0) { sb.append('&'); i += 1 } else i += consumed
+    unescapeAppend(s, 0, s.length, sb)
+    sb.toString
+  }
+
+  /** Unescape `s[from, until)` appending into `sb` — no substring copy,
+    * and the spans between references append via the BULK java range
+    * append (arraycopy), not per-char (r03 parse profile: the tokenizer's
+    * per-text-run substring + unescape allocations; a first fix that
+    * looped chars measured slower than the substring it replaced).
+    */
+  def unescapeAppend(s: String, from: Int, until: Int, sb: StringBuilder): Unit = {
+    var i = from
+    while (i < until) {
+      // bounded scan — String.indexOf would run past `until` to the end
+      // of the whole document on runs without '&' (O(n²) over a page)
+      var amp = i
+      while (amp < until && s.charAt(amp) != '&') amp += 1
+      if (amp == until) {
+        sb.underlying.append(s, i, until)
+        i = until
+      } else {
+        if (amp > i) sb.underlying.append(s, i, amp)
+        val consumed = decodeRef(s, amp, sb, until)
+        if (consumed == 0) { sb.append('&'); i = amp + 1 } else i = amp + consumed
       }
     }
-    sb.toString
   }
 
   /** Try to decode a reference at s(i)=='&'; append to sb and return chars
     * consumed, or 0 on no match.
     */
-  def decodeRef(s: String, i: Int, sb: StringBuilder): Int = {
-    val n = s.length
+  def decodeRef(s: String, i: Int, sb: StringBuilder): Int =
+    decodeRef(s, i, sb, s.length)
+
+  /** Range form: the reference may not read at or past `limit` —
+    * equivalent to decodeRef over substring(0, limit) without the copy.
+    */
+  def decodeRef(s: String, i: Int, sb: StringBuilder, limit: Int): Int = {
+    val n = limit
     if (i + 1 >= n) return 0
     if (s.charAt(i + 1) == '#') {
       var j = i + 2

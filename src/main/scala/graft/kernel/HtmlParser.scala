@@ -37,6 +37,11 @@ object HtmlParser {
   }
 
   private val CdataElements = Set("script", "style")
+  // precompiled raw-text terminators (the per-tag Pattern.compile showed
+  // up in the r03 parse profile — script/style are the only members)
+  private val CdataEndRe: Map[String, java.util.regex.Pattern] =
+    CdataElements.map(n => n -> java.util.regex.Pattern.compile(
+      "</\\s*" + n, java.util.regex.Pattern.CASE_INSENSITIVE)).toMap
 
   def parse(html: String, strainer: ClassStrainer = null): Elem = {
     val doc = Dom.newDocument()
@@ -95,10 +100,10 @@ object HtmlParser {
     while (i < n) {
       val lt = html.indexOf('<', i)
       if (lt < 0) {
-        textBuf.append(Entities.unescape(html.substring(i)))
+        Entities.unescapeAppend(html, i, n, textBuf)
         i = n
       } else {
-        if (lt > i) textBuf.append(Entities.unescape(html.substring(i, lt)))
+        if (lt > i) Entities.unescapeAppend(html, i, lt, textBuf)
         i = lt
         if (i + 1 >= n) { textBuf.append('<'); i += 1 }
         else {
@@ -174,10 +179,7 @@ object HtmlParser {
                 if (!void && !st.selfClosing) {
                   if (CdataElements.contains(name)) {
                     // raw-text mode: until </name
-                    val m = java.util.regex.Pattern
-                      .compile("</\\s*" + name,
-                        java.util.regex.Pattern.CASE_INSENSITIVE)
-                      .matcher(html)
+                    val m = CdataEndRe(name).matcher(html)
                     val found = m.find(st.end)
                     val rawEnd = if (found) m.start() else n
                     if (rawEnd > st.end && elem != null) {
