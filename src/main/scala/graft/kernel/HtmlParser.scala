@@ -22,12 +22,14 @@ import scala.collection.mutable
   */
 object HtmlParser {
 
+  private val WsSplitRe = java.util.regex.Pattern.compile("\\s+")
+
   /** Strainer: materialize subtrees whose root's `class` matches. */
   final case class ClassStrainer(re: java.util.regex.Pattern,
                                  exact: String = null) {
     def matches(classAttr: String): Boolean = {
       if (classAttr == null) return false
-      val tokens = classAttr.split("\\s+").filter(_.nonEmpty)
+      val tokens = WsSplitRe.split(classAttr).filter(_.nonEmpty)
       if (exact != null)
         tokens.contains(exact) || classAttr == exact
       else
@@ -45,14 +47,17 @@ object HtmlParser {
 
   def parse(html: String, strainer: ClassStrainer = null): Elem = {
     val doc = Dom.newDocument()
-    // Logical open-tag stack: (name, elem or null when unmaterialized)
-    val stack = mutable.ArrayBuffer[(String, Elem)]((Dom.DocumentName, doc))
+    // Logical open-tag stack, parallel arrays (name, elem-or-null when
+    // unmaterialized under a strainer) — no per-push tuple allocation.
+    val stackNames = mutable.ArrayBuffer[String](Dom.DocumentName)
+    val stackElems = mutable.ArrayBuffer[Elem](doc)
     val textBuf = new StringBuilder
+    val scratch = new TagScratch
 
     def curElem: Elem = {
-      var i = stack.length - 1
+      var i = stackElems.length - 1
       while (i >= 0) {
-        if (stack(i)._2 != null) return stack(i)._2
+        if (stackElems(i) != null) return stackElems(i)
         i -= 1
       }
       doc
@@ -61,9 +66,9 @@ object HtmlParser {
     def materialized: Boolean = {
       // inside a materialized subtree (or no strainer at all)
       if (strainer == null) return true
-      var i = stack.length - 1
+      var i = stackElems.length - 1
       while (i >= 1) { // skip the document sentinel
-        if (stack(i)._2 != null) return true
+        if (stackElems(i) != null) return true
         i -= 1
       }
       false
@@ -87,12 +92,16 @@ object HtmlParser {
       if (!force && !materialized) return
       val parent = curElem
       // coalesce adjacent plain-text nodes (html.parser buffers runs)
-      (n, parent.children.lastOption) match {
-        case (t: Text, Some(p: Text))
-            if t.getClass == classOf[Text] && p.getClass == classOf[Text] =>
-          p.data = p.data + t.data
-        case _ => parent.append(n)
+      val cs = parent.children
+      if (cs.nonEmpty && n.getClass == classOf[Text]) {
+        val last = cs(cs.length - 1)
+        if (last.getClass == classOf[Text]) {
+          val p = last.asInstanceOf[Text]
+          p.data = p.data + n.asInstanceOf[Text].data
+          return
+        }
       }
+      parent.append(n)
     }
 
     val n = html.length
@@ -143,9 +152,12 @@ object HtmlParser {
               val next = if (gt < 0) n else gt + 1
               flushText()
               // pop to matching open tag; ignore if none
-              var k = stack.length - 1
-              while (k >= 1 && stack(k)._1 != name) k -= 1
-              if (k >= 1) stack.remove(k, stack.length - k)
+              var k = stackNames.length - 1
+              while (k >= 1 && stackNames(k) != name) k -= 1
+              if (k >= 1) {
+                stackNames.remove(k, stackNames.length - k)
+                stackElems.remove(k, stackElems.length - k)
+              }
               i = next
             } else {
               // bogus end tag: html.parser treats `</...>` as comment-ish;
@@ -154,46 +166,48 @@ object HtmlParser {
               i += 1
             }
           } else if (isNameStart(c1)) {
-            parseStartTag(html, i) match {
-              case null =>
-                textBuf.append('<'); i += 1
-              case st =>
-                flushText()
-                val name = st.name
-                val mat = materialized || (strainer != null &&
-                  strainer.matches(st.attrs.get("class").map(v =>
-                    if (v == null) "" else v).orNull))
-                var elem: Elem = null
-                if (mat) {
-                  elem = new Elem(name)
-                  for ((k, v) <- st.attrs) {
-                    val vv =
-                      if (Dom.MultiValuedAttrs.contains(k))
-                        normTokens(v)
-                      else v
-                    elem.attrs(k) = vv
-                  }
-                  appendNode(elem, force = true)
+            if (!parseStartTag(html, i, scratch)) {
+              textBuf.append('<'); i += 1
+            } else {
+              val st = scratch
+              flushText()
+              val name = st.name
+              val mat = materialized || (strainer != null &&
+                strainer.matches(st.classAttrOrNull))
+              var elem: Elem = null
+              if (mat) {
+                elem = new Elem(name)
+                var a = 0
+                while (a < st.nattrs) {
+                  val k = st.anames(a)
+                  val v = st.avalues(a)
+                  elem.attrs(k) =
+                    if (Dom.MultiValuedAttrs.contains(k)) normTokens(v)
+                    else v
+                  a += 1
                 }
-                val void = Dom.VoidElements.contains(name)
-                if (!void && !st.selfClosing) {
-                  if (CdataElements.contains(name)) {
-                    // raw-text mode: until </name
-                    val m = CdataEndRe(name).matcher(html)
-                    val found = m.find(st.end)
-                    val rawEnd = if (found) m.start() else n
-                    if (rawEnd > st.end && elem != null) {
-                      elem.append(new RawText(html.substring(st.end, rawEnd)))
-                    }
-                    if (found) {
-                      val gt = html.indexOf('>', m.end())
-                      i = if (gt < 0) n else gt + 1
-                    } else i = n
-                  } else {
-                    stack += ((name, elem))
-                    i = st.end
+                appendNode(elem, force = true)
+              }
+              val void = Dom.VoidElements.contains(name)
+              if (!void && !st.selfClosing) {
+                if (CdataElements.contains(name)) {
+                  // raw-text mode: until </name
+                  val m = CdataEndRe(name).matcher(html)
+                  val found = m.find(st.end)
+                  val rawEnd = if (found) m.start() else n
+                  if (rawEnd > st.end && elem != null) {
+                    elem.append(new RawText(html.substring(st.end, rawEnd)))
                   }
-                } else i = st.end
+                  if (found) {
+                    val gt = html.indexOf('>', m.end())
+                    i = if (gt < 0) n else gt + 1
+                  } else i = n
+                } else {
+                  stackNames += name
+                  stackElems += elem
+                  i = st.end
+                }
+              } else i = st.end
             }
           } else {
             textBuf.append('<')
@@ -213,33 +227,71 @@ object HtmlParser {
     c == '>' || c == '/' || c == ' ' || c == '\t' || c == '\n' ||
     c == '\r' || c == '\f'
 
-  private final class StartTag(val name: String,
-                               val attrs: mutable.LinkedHashMap[String, String],
-                               val selfClosing: Boolean,
-                               val end: Int)
-
-  /** Parse `<name attrs...>` starting at `<`; null if malformed/unterminated
-    * (html.parser then emits the '<' as data).
+  /** Reusable per-parse start-tag scratch: attr pairs land in growable
+    * parallel arrays instead of a per-tag LinkedHashMap (the r03 parse
+    * profile's dominant allocation — two maps per element, one here and a
+    * copy in Elem).  Duplicate attr keeps first position, latest value
+    * (Python dict re-assignment semantics, what bs4 builds from
+    * html.parser's pair list).
     */
-  private def parseStartTag(html: String, start: Int): StartTag = {
+  private final class TagScratch {
+    var name: String = _
+    var selfClosing: Boolean = false
+    var end: Int = 0
+    var nattrs: Int = 0
+    var anames = new Array[String](8)
+    var avalues = new Array[String](8)
+
+    def reset(): Unit = { nattrs = 0; selfClosing = false }
+
+    def put(k: String, v: String): Unit = {
+      var i = 0
+      while (i < nattrs) {
+        if (anames(i) == k) { avalues(i) = v; return }
+        i += 1
+      }
+      if (nattrs == anames.length) {
+        anames = java.util.Arrays.copyOf(anames, nattrs * 2)
+        avalues = java.util.Arrays.copyOf(avalues, nattrs * 2)
+      }
+      anames(nattrs) = k; avalues(nattrs) = v; nattrs += 1
+    }
+
+    /** class attr value for the strainer: absent → null, bare → "". */
+    def classAttrOrNull: String = {
+      var i = 0
+      while (i < nattrs) {
+        if (anames(i) == "class") {
+          val v = avalues(i)
+          return if (v == null) "" else v
+        }
+        i += 1
+      }
+      null
+    }
+  }
+
+  /** Parse `<name attrs...>` starting at `<` into `out`; false if
+    * malformed/unterminated (html.parser then emits the '<' as data).
+    */
+  private def parseStartTag(html: String, start: Int, out: TagScratch): Boolean = {
     val n = html.length
     var i = start + 1
     val nameStart = i
     while (i < n && html.charAt(i) != '>' && html.charAt(i) != '/' &&
            !isSpaceChar(html.charAt(i))) i += 1
-    if (i >= n) return null
-    val name = html.substring(nameStart, i).toLowerCase
-    val attrs = mutable.LinkedHashMap.empty[String, String]
-    var selfClosing = false
+    if (i >= n) return false
+    out.reset()
+    out.name = html.substring(nameStart, i).toLowerCase
     var done = false
     while (!done) {
       while (i < n && isSpaceChar(html.charAt(i))) i += 1
-      if (i >= n) return null
+      if (i >= n) return false
       val c = html.charAt(i)
       if (c == '>') { i += 1; done = true }
       else if (c == '/') {
         if (i + 1 < n && html.charAt(i + 1) == '>') {
-          selfClosing = true; i += 2; done = true
+          out.selfClosing = true; i += 2; done = true
         } else i += 1 // stray '/' skipped (attrfind tolerant)
       } else {
         // attribute name
@@ -247,7 +299,7 @@ object HtmlParser {
         while (i < n && !isSpaceChar(html.charAt(i)) &&
                html.charAt(i) != '=' && html.charAt(i) != '>' &&
                html.charAt(i) != '/') i += 1
-        if (i >= n) return null
+        if (i >= n) return false
         val aname = html.substring(as, i).toLowerCase
         while (i < n && isSpaceChar(html.charAt(i))) i += 1
         var avalue: String = null
@@ -257,7 +309,7 @@ object HtmlParser {
           if (i < n && (html.charAt(i) == '"' || html.charAt(i) == '\'')) {
             val q = html.charAt(i)
             val ve = html.indexOf(q, i + 1)
-            if (ve < 0) return null
+            if (ve < 0) return false
             avalue = Entities.unescape(html.substring(i + 1, ve))
             i = ve + 1
           } else {
@@ -267,21 +319,57 @@ object HtmlParser {
             avalue = Entities.unescape(html.substring(vs, i))
           }
         }
-        if (aname.nonEmpty) attrs(aname) = avalue // duplicate: latest wins
+        if (aname.nonEmpty) out.put(aname, avalue) // duplicate: latest wins
       }
     }
-    new StartTag(name, attrs, selfClosing, i)
+    out.end = i
+    true
   }
 
   private def isSpaceChar(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f'
 
+  /** Java-regex \s membership ([ \t\n\x0B\f\r]) — normTokens must match
+    * `split("\\s+")` exactly, which includes vertical tab unlike the
+    * tokenizer's isSpaceChar.
+    */
+  private def isWsRegexChar(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' ||
+    c == '\r'
+
   /** Multi-valued attr normalization: bs4 splits on whitespace into a list;
     * we store the single-space rejoin (serialization + `' '.join` parity).
-    * Bare attr (null) → "" (bs4: empty list).
+    * Bare attr (null) → "" (bs4: empty list).  Single-scan equivalent of
+    * `v.split("\\s+").filter(_.nonEmpty).mkString(" ")` without the
+    * per-call Pattern compile; already-normalized values return unchanged.
     */
   private def normTokens(v: String): String = {
     if (v == null) return ""
-    v.split("\\s+").filter(_.nonEmpty).mkString(" ")
+    val n = v.length
+    if (n == 0) return ""
+    // fast path: no leading/trailing ws, no runs, no non-space ws chars
+    var i = 0
+    var prevSpace = true // treat position -1 as space → rejects leading ' '
+    var clean = true
+    while (clean && i < n) {
+      val c = v.charAt(i)
+      if (c == ' ') { if (prevSpace) clean = false else prevSpace = true }
+      else if (isWsRegexChar(c)) clean = false
+      else prevSpace = false
+      i += 1
+    }
+    if (clean && !prevSpace) return v
+    val sb = new java.lang.StringBuilder(n)
+    i = 0
+    while (i < n) {
+      val c = v.charAt(i)
+      if (isWsRegexChar(c)) {
+        if (sb.length > 0 && sb.charAt(sb.length - 1) != ' ') sb.append(' ')
+      } else sb.append(c)
+      i += 1
+    }
+    if (sb.length > 0 && sb.charAt(sb.length - 1) == ' ')
+      sb.setLength(sb.length - 1)
+    sb.toString
   }
 }
