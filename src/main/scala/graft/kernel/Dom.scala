@@ -143,16 +143,34 @@ final class Elem(var name: String) extends DNode {
     n.extract(); n.parent = this; children.insert(i, n)
   }
 
-  /** All descendant nodes, document (pre-)order, excluding self. */
+  /** All descendant nodes, document (pre-)order, excluding self.
+    * Array-backed explicit stack — this iterator is constructed once per
+    * findAll/find/text call across the whole kernel, so the
+    * mutable.Stack + reverseIterator allocations it used to make per node
+    * were a measurable slice of the munge/process profile.
+    */
   def descendants: Iterator[DNode] = new Iterator[DNode] {
-    private val stack = mutable.Stack[DNode]()
-    children.reverseIterator.foreach(stack.push)
-    def hasNext: Boolean = stack.nonEmpty
+    private var stack = new Array[DNode](32)
+    private var top = 0
+    pushChildren(Elem.this)
+
+    private def pushChildren(e: Elem): Unit = {
+      val cs = e.children
+      var i = cs.length - 1
+      if (top + cs.length > stack.length) {
+        stack = java.util.Arrays.copyOf(
+          stack, math.max(stack.length * 2, top + cs.length))
+      }
+      while (i >= 0) { stack(top) = cs(i); top += 1; i -= 1 }
+    }
+
+    def hasNext: Boolean = top > 0
     def next(): DNode = {
-      val n = stack.pop()
+      top -= 1
+      val n = stack(top)
       n match {
-        case e: Elem => e.children.reverseIterator.foreach(stack.push)
-        case _       =>
+        case e: Elem if e.children.nonEmpty => pushChildren(e)
+        case _                              =>
       }
       n
     }
@@ -182,9 +200,27 @@ final class Elem(var name: String) extends DNode {
     descendants.collect { case t: Text => t }.toSeq
 
   /** bs4 Tag.text / get_text(): visible strings concatenated. */
-  def text: String = getText("")
+  def text: String = {
+    val sb = new java.lang.StringBuilder
+    appendVisibleText(sb)
+    sb.toString
+  }
+
+  private def appendVisibleText(sb: java.lang.StringBuilder): Unit = {
+    val cs = children
+    var i = 0
+    while (i < cs.length) {
+      cs(i) match {
+        case e: Elem                => e.appendVisibleText(sb)
+        case t: Text if t.visible   => sb.append(t.data)
+        case _                      =>
+      }
+      i += 1
+    }
+  }
 
   def getText(sep: String): String = {
+    if (sep.isEmpty) return text
     val parts = descendants.collect { case t: Text if t.visible => t.data }
     parts.mkString(sep)
   }
@@ -257,7 +293,7 @@ final class Elem(var name: String) extends DNode {
   def serialize(sb: StringBuilder): Unit = {
     if (isDocument) { children.foreach(_.serialize(sb)); return }
     sb.append('<').append(name)
-    for ((k, v) <- attrs) {
+    attrs.foreachEntry { (k, v) =>
       sb.append(' ').append(k)
       if (k == "score" && hasScore) {
         sb.append("=\"").append(Py.floatRepr(score)).append('"')
@@ -295,30 +331,39 @@ object Dom {
 
   /** bs4 minimal formatter: text escapes &, <, >. */
   def escapeText(s: String, sb: StringBuilder): Unit = {
+    val n = s.length
     var i = 0
-    while (i < s.length) {
-      s.charAt(i) match {
-        case '&' => sb.append("&amp;")
-        case '<' => sb.append("&lt;")
-        case '>' => sb.append("&gt;")
-        case c   => sb.append(c)
+    var from = 0 // clean-run start; bulk-append runs between escapes
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '&' || c == '<' || c == '>') {
+        if (i > from) sb.underlying.append(s, from, i)
+        sb.append(if (c == '&') "&amp;" else if (c == '<') "&lt;" else "&gt;")
+        from = i + 1
       }
       i += 1
     }
+    if (n > from) sb.underlying.append(s, from, n)
   }
 
   /** Attribute values additionally escape the quote. */
   def escapeAttr(s: String, sb: StringBuilder): Unit = {
+    val n = s.length
     var i = 0
-    while (i < s.length) {
-      s.charAt(i) match {
-        case '&' => sb.append("&amp;")
-        case '<' => sb.append("&lt;")
-        case '>' => sb.append("&gt;")
-        case '"' => sb.append("&quot;")
-        case c   => sb.append(c)
+    var from = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '&' || c == '<' || c == '>' || c == '"') {
+        if (i > from) sb.underlying.append(s, from, i)
+        sb.append(
+          if (c == '&') "&amp;"
+          else if (c == '<') "&lt;"
+          else if (c == '>') "&gt;"
+          else "&quot;")
+        from = i + 1
       }
       i += 1
     }
+    if (n > from) sb.underlying.append(s, from, n)
   }
 }

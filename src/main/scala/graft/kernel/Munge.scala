@@ -86,24 +86,42 @@ object Munge {
     "a", "center", "div", "li", "ol", "p", "table", "td", "th", "tr",
     "span", "ul", "h1", "h2", "h3", "h4", "h5", "h6")
 
-  /** `strip(tag.text)` is non-empty ⟺ some VISIBLE text descendant has a
-    * non-space char — checked with an early-exit walk instead of
-    * materializing the whole subtree's text per candidate (r03 perf task;
-    * the cascade re-ran `.text` for every ancestor).
+  /** "Keep" test for the empties cascade, fused into ONE early-exit
+    * recursive walk (clean.py:288-309 runs two subtree passes per
+    * candidate: `strip(tag.text)` and `tag.find(lambda ...)`) — a tag
+    * survives iff it has a visible non-space text descendant OR any elem
+    * descendant that isn't br/hr.  Pure predicate, so the OR order is
+    * immaterial; fusing avoids two iterator constructions per candidate
+    * (r03 profile: this cascade was the heaviest munge slice).
     */
-  private def hasVisibleNonSpaceText(tag: Elem): Boolean =
-    tag.descendants.exists {
-      case t: Text if t.visible => t.data.exists(c => !Py.isSpace(c))
-      case _                    => false
+  private def mustKeepNonEmpty(tag: Elem): Boolean = {
+    val cs = tag.children
+    var i = 0
+    while (i < cs.length) {
+      cs(i) match {
+        case e: Elem =>
+          if (e.name != "br" && e.name != "hr") return true
+          if (mustKeepNonEmpty(e)) return true
+        case t: Text if t.visible =>
+          val d = t.data
+          var j = 0
+          val m = d.length
+          while (j < m) {
+            if (!Py.isSpace(d.charAt(j))) return true
+            j += 1
+          }
+        case _ =>
+      }
+      i += 1
     }
+    false
+  }
 
   /** clean.py:288-309 (M4) — strip empty tags, cascading to parents. */
   def mungeStripEmpties(root: Elem): Unit = {
     def stripIfEmpty(tag: Elem): Unit = {
       if (tag == null || !EmptyStripTags.contains(tag.name)) return
-      if (hasVisibleNonSpaceText(tag)) return
-      if (tag.find((e: Elem) => e.name != "br" && e.name != "hr") != null)
-        return
+      if (mustKeepNonEmpty(tag)) return
       val parent = tag.parent
       Patterns.strip(tag)
       stripIfEmpty(parent)
@@ -138,8 +156,10 @@ object Munge {
     // probing all 22 strip keys per tag; same removals ('onchange ' can
     // never be a parsed attr name, so the trailing-space quirk holds)
     for (tag <- root.descendants) tag match {
-      case e: Elem =>
-        val doomed = e.attrs.keysIterator.filter(StripAttrSet.contains).toList
+      case e: Elem if e.attrs.nonEmpty =>
+        var doomed: List[String] = Nil
+        for (k <- e.attrs.keysIterator)
+          if (StripAttrSet.contains(k)) doomed = k :: doomed
         doomed.foreach(e.delAttr)
       case _ =>
     }

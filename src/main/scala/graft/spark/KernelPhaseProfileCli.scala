@@ -83,5 +83,49 @@ object KernelPhaseProfileCli {
       Clean.clean(u, h.getBytes("UTF-8"))
     }
     bench("feed-note scan only")((u, h) => Clean.feedFallthroughNote(u, h))
+
+    // Munge pass attribution: one full munge per doc with nanos accumulated
+    // around each pass (fresh trees per doc; mutation makes per-pass
+    // steady-state timing impossible otherwise).
+    locally {
+      val passNames = Array(
+        "site", "brsAfterPs", "rules(hr)", "empties", "rootContainers",
+        "lowScored", "stripAttrs", "fixUrls", "images", "headerDowngrade",
+        "hyphenate", "noscript", "serialize")
+      val acc = new Array[Long](passNames.length)
+      corpus.foreach { case (u, h) => // warmup
+        val r = Extract.extractFromHtml(u, h)
+        Munge.munge(r.soup, r.selected, u)
+      }
+      corpus.foreach { case (u, h) =>
+        val r = Extract.extractFromHtml(u, h)
+        r.selected match {
+          case Extract.SelNode(tag0: Elem) =>
+            var tag = tag0
+            var k = 0
+            def step(f: => Unit): Unit = {
+              val t0 = System.nanoTime(); f; acc(k) += System.nanoTime() - t0
+              k += 1
+            }
+            step(Munge.mungeStripSiteSpecific(tag, u))
+            step(Munge.mungeStripBrsAfterPs(tag))
+            step(Munge.mungeStripRules(tag))
+            step(Munge.mungeStripEmpties(tag))
+            step { tag = Munge.mungeStripRootContainers(tag) }
+            step(Munge.mungeStripLowScored(tag))
+            step(Munge.mungeStripAttrs(tag))
+            step(Munge.fixUrls(tag, u))
+            step(Munge.mungeImages(tag))
+            step(Munge.mungeHeaderDowngrade(tag))
+            step(Munge.mungeHyphenate(tag))
+            step(Munge.mungeNoscript(tag))
+            step(tag.serialized)
+          case _ =>
+        }
+      }
+      passNames.zip(acc).foreach { case (nm, ns) =>
+        println(f"MUNGEPASS $nm%-18s ${ns / 1e9}%7.3f s")
+      }
+    }
   }
 }
