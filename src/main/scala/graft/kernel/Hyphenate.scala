@@ -584,4 +584,43 @@ object Hyphenate {
       shyCache.put(word, res)
     res
   }
+
+  // Direct-mapped, thread-local front cache keyed by a char RANGE of the
+  // source string: the munge text scan can ask for word hyphenation
+  // without allocating the substring at all on a hit (the r03 profile's
+  // remaining hyphenate cost was per-word substring + ConcurrentHashMap
+  // probe).  Collision policy is replace — Zipfian word frequencies keep
+  // the hot words resident.  Per-thread, so no synchronization; backed by
+  // the shared shyCache on miss.
+  private final val TlBits = 14
+  private final class RangeMemo {
+    val keys = new Array[String](1 << TlBits)
+    val vals = new Array[String](1 << TlBits)
+  }
+  private val tlMemo: ThreadLocal[RangeMemo] =
+    ThreadLocal.withInitial(() => new RangeMemo)
+
+  /** Append `hyphenateWordShy(s.substring(from, until))` to `out`,
+    * allocation-free when the range is a repeat word on this thread.
+    * Caller guarantees until - from > 4.
+    */
+  def appendHyphenatedShy(
+      s: String, from: Int, until: Int, out: StringBuilder): Unit = {
+    val len = until - from
+    var h = 0
+    var i = from
+    while (i < until) { h = h * 31 + s.charAt(i); i += 1 }
+    val memo = tlMemo.get()
+    val idx = (h ^ (h >>> 16)) & ((1 << TlBits) - 1)
+    val k = memo.keys(idx)
+    if (k != null && k.length == len && s.regionMatches(from, k, 0, len)) {
+      out.append(memo.vals(idx))
+      return
+    }
+    val word = s.substring(from, until)
+    val res = hyphenateWordShy(word)
+    memo.keys(idx) = word
+    memo.vals(idx) = res
+    out.append(res)
+  }
 }

@@ -300,14 +300,15 @@ object Munge {
 
   private def appendRange(
       s: String, from: Int, until: Int, out: StringBuilder): Unit = {
-    var k = from
-    while (k < until) { out.append(s.charAt(k)); k += 1 }
+    // bulk java append — the (s, from, until) overload on the SCALA
+    // StringBuilder auto-tuples (appends "(s,from,until)" literally)
+    out.underlying.append(s, from, until)
   }
 
   private def appendHyphenated(
       s: String, from: Int, until: Int, out: StringBuilder): Unit = {
     if (until - from <= 4) appendRange(s, from, until, out) // ≤4 never splits
-    else out.append(Hyphenate.hyphenateWordShy(s.substring(from, until)))
+    else Hyphenate.appendHyphenatedShy(s, from, until, out)
   }
 
   /** clean.py:270-272 (M12) */
