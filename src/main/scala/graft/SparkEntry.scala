@@ -77,10 +77,11 @@ object SparkEntry {
   }
 
   /** DuckDB oracles for every SQL-expressible query above; kernel-backed
-    * (x*) and hash-seeded (t5/t6/t7/t9/t10/t11/t12) ops are rows-only.
+    * (x*) and hash-seeded (t5/t6/t7/t9/t11/t12/t14) ops are rows-only.
     */
   def oracleSql: Map[String, String] =
     graft.spark.Relational.oracles ++
       graft.ops.TextOps.oracles ++
-      graft.ops.Dedup.oracles
+      graft.ops.Dedup.oracles ++
+      graft.ops.Similarity.oracles
 }

@@ -181,4 +181,32 @@ object Similarity {
     "t11_ann_lsh" -> ((s, d) => annLsh(s, d)),
     "t14_ann_ivf" -> ((s, d) => annIvf(s, d))
   )
+
+  /** Full DuckDB oracle for the brute-force kNN baseline: both engines
+    * widen float→double EXACTLY, accumulate the dot in double, and rank by
+    * (round-4 cosine DESC, neighbor_id) — validated bit-identical on the
+    * sf0.01 table (100/100 rows).  The LSH/IVF variants stay rows-only:
+    * their bucketing is hash/centroid-seeded, not SQL-expressible.
+    */
+  val oracles: Map[String, String] = Map(
+    "t10_knn_bruteforce" ->
+      """WITH n AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                               CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
+        |      FROM n WHERE vec_id < 20),
+        |pairs AS (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id,
+        |         round(list_dot_product(q.qv, c.v) / (q.qn * c.nrm), 4) AS cosine
+        |  FROM q JOIN n c ON c.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM pairs)
+        |SELECT query_id, neighbor_id, cosine, rank
+        |FROM ranked WHERE rank <= 5""".stripMargin
+  )
 }

@@ -82,11 +82,38 @@ object TextOps {
       s"aggregate($Toks, CAST(0 AS BIGINT), (acc, x) -> xxhash64(acc, x)) AS rolling_fp",
       s"aggregate($Toks, CAST(0 AS BIGINT), (acc, x) -> acc ^ xxhash64(x)) AS bag_fp")
 
+  /** Repetition metrics (Gopher-style duplicate-content filters):
+    * duplicate-word fraction, top-token frequency fraction, duplicate
+    * token-bigram fraction — all per-row higher-order functions, no
+    * shuffle, whole-stage codegen.  (Duplicate-LINE fraction is omitted:
+    * the synthetic documents are single-line, so it would be a vacuous
+    * always-zero column — the r01 t9 lesson.)  The top-token count is
+    * O(distinct×tokens) per row; for very long documents the scale path
+    * is explode + per-(doc,token) count, but that costs a shuffle and
+    * only wins past ~10^3 distinct tokens per doc.
+    */
+  def repetition(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .selectExpr("doc_id", s"$Toks AS toks")
+      .selectExpr("doc_id", "toks",
+        """CASE WHEN size(toks) >= 2 THEN
+          |  transform(sequence(1, size(toks) - 1),
+          |            i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))
+          |ELSE CAST(array() AS ARRAY<STRING>) END AS bigrams""".stripMargin)
+      .selectExpr(
+        "doc_id",
+        "CAST(size(toks) AS BIGINT) AS n_tokens",
+        "CAST(size(array_distinct(toks)) AS BIGINT) AS n_distinct",
+        "round(1 - size(array_distinct(toks)) / greatest(size(toks), 1), 4) AS dup_word_frac",
+        "round(array_max(transform(array_distinct(toks), d -> size(filter(toks, x -> x = d)))) / greatest(size(toks), 1), 4) AS top_token_frac",
+        "round(1 - size(array_distinct(bigrams)) / greatest(size(bigrams), 1), 4) AS dup_bigram_frac")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t2_token_count" -> ((s, d) => tokenCount(s, d)),
     "t3_quality_score" -> ((s, d) => qualityScore(s, d)),
     "t4_lang_id" -> ((s, d) => langId(s, d)),
-    "t5_fingerprint" -> ((s, d) => fingerprint(s, d))
+    "t5_fingerprint" -> ((s, d) => fingerprint(s, d)),
+    "t15_repetition" -> ((s, d) => repetition(s, d))
   )
 
   /** DuckDB mirrors (xxhash64 has no DuckDB equivalent → t5 is rows-only;
@@ -115,7 +142,25 @@ object TextOps {
            |       round(${dHits("en")} / greatest(len($dToks), 1), 4) AS stopword_ratio
            |FROM documents""".stripMargin,
       "t4_lang_id" ->
-        s"SELECT doc_id, lang, $caseExpr AS lang_pred FROM documents"
+        s"SELECT doc_id, lang, $caseExpr AS lang_pred FROM documents",
+      "t15_repetition" ->
+        s"""WITH t AS (
+           |  SELECT doc_id, $dToks AS toks FROM documents),
+           |b AS (
+           |  SELECT doc_id, toks,
+           |         CASE WHEN len(toks) >= 2 THEN
+           |           list_transform(generate_series(1, len(toks) - 1),
+           |                          i -> toks[i] || ' ' || toks[i + 1])
+           |         ELSE [] END AS bigrams
+           |  FROM t)
+           |SELECT doc_id,
+           |       CAST(len(toks) AS BIGINT) AS n_tokens,
+           |       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+           |       round(1 - len(list_distinct(toks)) / greatest(len(toks), 1), 4) AS dup_word_frac,
+           |       round(list_max(list_transform(list_distinct(toks),
+           |             d -> len(list_filter(toks, x -> x = d)))) / greatest(len(toks), 1), 4) AS top_token_frac,
+           |       round(1 - len(list_distinct(bigrams)) / greatest(len(bigrams), 1), 4) AS dup_bigram_frac
+           |FROM b""".stripMargin
     )
   }
 }

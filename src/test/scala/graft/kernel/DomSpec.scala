@@ -63,6 +63,40 @@ class DomSpec extends AnyFunSuite {
     assert(a.attr("rel") == "tag me")
   }
 
+  test("multi-valued normalization: regex-\\s parity incl. vertical tab") {
+    // normTokens must equal split("\\s+") semantics: VT (U+000B) IS regex \s
+    val doc = parse("<a class=\"x\u000By\">z</a><b class=\"plain one\">q</b>")
+    assert(doc.find("a").attr("class") == "x y")
+    // already-normalized fast path returns the value unchanged
+    assert(doc.find("b").attr("class") == "plain one")
+    // bare class attr → empty list → empty string
+    val bare = parse("<i class>t</i>")
+    assert(bare.find("i").attr("class") == "")
+  }
+
+  test("duplicate attrs: first position, latest value (dict semantics)") {
+    val doc = parse("<a id=\"one\" href=\"h\" id=\"two\">t</a>")
+    val a = doc.find("a")
+    assert(a.attr("id") == "two")
+    // position of `id` stays first (Python dict re-assignment keeps slot)
+    assert(doc.serialized == "<a id=\"two\" href=\"h\">t</a>")
+  }
+
+  test("start tags with many attrs grow the scratch correctly") {
+    val attrs = (1 to 12).map(i => s"a$i=\"v$i\"").mkString(" ")
+    val doc = parse(s"<div $attrs>x</div>")
+    val d = doc.find("div")
+    (1 to 12).foreach(i => assert(d.attr(s"a$i") == s"v$i"))
+    assert(d.attrs.size == 12)
+  }
+
+  test("getText with separator vs fast empty-sep path agree on content") {
+    val doc = parse("<div>a<span>b</span>c<!--no--><script>raw</script></div>")
+    val d = doc.find("div")
+    assert(d.text == "abcraw") // comment invisible, raw text visible
+    assert(d.getText("|") == "a|b|c|raw")
+  }
+
   test("nested find / findParent / siblings") {
     val doc = parse("<div><a><span>in</span></a><hr><p>x</p>text<p>y</p></div>")
     val span = doc.find("span")
