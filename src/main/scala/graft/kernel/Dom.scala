@@ -101,6 +101,69 @@ final class ProcIn(d: String) extends Text(d) {
     sb.append("<?").append(data).append(">")
 }
 
+/** Insertion-ordered attr map over parallel arrays: elements carry 0-3
+  * attrs almost always, so linear probing beats hashing and the
+  * LinkedHashMap-per-element allocation chain (map + table + entry per
+  * attr) that dominated the parse profile.  Update-in-place keeps first
+  * position with latest value (Python dict re-assignment semantics).
+  * Arrays are allocated on first insert — attr-less tags cost nothing.
+  */
+final class AttrMap {
+  private var ks: Array[String] = _
+  private var vs: Array[String] = _
+  private var n = 0
+
+  def indexOf(k: String): Int = {
+    var i = 0
+    while (i < n) { if (ks(i) == k) return i; i += 1 }
+    -1
+  }
+
+  def keyAt(i: Int): String = ks(i)
+  def valueAt(i: Int): String = vs(i)
+  def size: Int = n
+  def isEmpty: Boolean = n == 0
+  def nonEmpty: Boolean = n > 0
+  def contains(k: String): Boolean = indexOf(k) >= 0
+
+  def get(k: String): Option[String] = {
+    val i = indexOf(k)
+    if (i < 0) None else Some(vs(i))
+  }
+
+  def update(k: String, v: String): Unit = {
+    val i = indexOf(k)
+    if (i >= 0) { vs(i) = v; return }
+    if (ks == null) {
+      ks = new Array[String](4); vs = new Array[String](4)
+    } else if (n == ks.length) {
+      ks = java.util.Arrays.copyOf(ks, n * 2)
+      vs = java.util.Arrays.copyOf(vs, n * 2)
+    }
+    ks(n) = k; vs(n) = v; n += 1
+  }
+
+  def remove(k: String): Unit = {
+    val i = indexOf(k)
+    if (i < 0) return
+    var j = i
+    while (j < n - 1) { ks(j) = ks(j + 1); vs(j) = vs(j + 1); j += 1 }
+    n -= 1
+    ks(n) = null; vs(n) = null
+  }
+
+  def keysIterator: Iterator[String] = new Iterator[String] {
+    private var i = 0
+    def hasNext: Boolean = i < n
+    def next(): String = { val k = ks(i); i += 1; k }
+  }
+
+  def foreachEntry(f: (String, String) => Unit): Unit = {
+    var i = 0
+    while (i < n) { f(ks(i), vs(i)); i += 1 }
+  }
+}
+
 final class Elem(var name: String) extends DNode {
   /** Insertion-ordered attrs; value null = bare attr (serialized bare).
     * "class"/"rel" are normalized to single-space-joined token lists at parse
@@ -109,17 +172,20 @@ final class Elem(var name: String) extends DNode {
     * (bs4 stores the float directly in the attr dict; we keep dict position
     * for serialization order fidelity but the value in `score`).
     */
-  val attrs: mutable.LinkedHashMap[String, String] = mutable.LinkedHashMap.empty
+  val attrs: AttrMap = new AttrMap
   val children: mutable.ArrayBuffer[DNode] = mutable.ArrayBuffer.empty
   var score: Double = 0.0
   var hasScore: Boolean = false // "type(tag['score']) is float"
 
   def isDocument: Boolean = name == Dom.DocumentName
 
-  def attr(n: String): String = attrs.get(n) match {
-    case Some(null) => ""
-    case Some(v)    => v
-    case None       => null
+  def attr(n: String): String = {
+    val i = attrs.indexOf(n)
+    if (i < 0) null
+    else {
+      val v = attrs.valueAt(i)
+      if (v == null) "" else v
+    }
   }
 
   def hasAttr(n: String): Boolean = attrs.contains(n)
