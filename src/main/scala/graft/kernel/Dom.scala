@@ -173,7 +173,9 @@ final class Elem(var name: String) extends DNode {
     * for serialization order fidelity but the value in `score`).
     */
   val attrs: AttrMap = new AttrMap
-  val children: mutable.ArrayBuffer[DNode] = mutable.ArrayBuffer.empty
+  // initial backing array of 4 (not ArrayBuffer's default 16): most
+  // elements have few children and every element pays this allocation
+  val children: mutable.ArrayBuffer[DNode] = new mutable.ArrayBuffer[DNode](4)
   var score: Double = 0.0
   var hasScore: Boolean = false // "type(tag['score']) is float"
 
