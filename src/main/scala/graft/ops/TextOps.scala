@@ -6,12 +6,13 @@ import org.apache.spark.sql.functions._
 /** Text-analysis operators for a training-data pipeline, over the
   * `documents` table (doc_id, text, lang, source, n_chars).
   *
-  * All four are pure Catalyst expressions (no UDFs): tokenization, quality
+  * All are pure Catalyst expressions (no UDFs): tokenization, quality
   * ratios, language-ID and fingerprinting are built from split/filter/
-  * aggregate/xxhash64 higher-order functions, so they stay inside
-  * whole-stage codegen and scale linearly with zero shuffles (narrow,
-  * per-row). Only the final write/aggregate of a caller introduces a
-  * shuffle.
+  * aggregate/xxhash64 higher-order functions — narrow per-row plans with
+  * zero shuffles and column-pruned scans (PlanSpec).  NB higher-order
+  * lambdas are CodegenFallback in Spark (not whole-stage codegen'd); they
+  * still vectorize over the columnar scan and scale linearly.  Only the
+  * final write/aggregate of a caller introduces a shuffle.
   */
 object TextOps {
 

@@ -31,6 +31,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("t15 repetition metrics plan is narrow: no shuffle, pruned scan") {
+    // per-row higher-order functions only — any Exchange here means the
+    // op stopped being a linear single-pass filter feature. (HOF lambdas
+    // are CodegenFallback in Spark, so no WholeStageCodegen assertion.)
+    val p = plan(graft.ops.TextOps.repetition(spark, sf001))
+    assert(!p.contains("Exchange"), s"unexpected shuffle:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan not pruned to (doc_id, text):\n$p")
+  }
+
   test("t1 exact dedup aggregates with a map-side partial (one shuffle)") {
     val p = plan(graft.ops.Dedup.exact(spark, sf001))
     val exchanges = p.linesIterator
