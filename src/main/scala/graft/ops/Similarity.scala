@@ -176,10 +176,40 @@ object Similarity {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Int8 scalar quantization of the embedding column (the standard
+    * vector-store compression: per-vector min/max → 0..255 codes) plus
+    * reconstruction error — per-row HOFs, no shuffle.  All arithmetic is
+    * double (float→double widening is exact) with multiplication instead
+    * of pow() so the DuckDB mirror is bit-compatible (libm pow is not
+    * guaranteed identical across engines; IEEE multiply is).
+    */
+  def quantizeInt8(spark: SparkSession, sfDir: String): DataFrame =
+    embeddings(spark, sfDir)
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .selectExpr("vec_id", "v",
+        "array_min(v) AS mn", "array_max(v) AS mx",
+        "(array_max(v) - array_min(v)) / 255 AS scale")
+      .selectExpr("vec_id", "v", "mn", "mx", "scale",
+        """CASE WHEN scale = 0 THEN transform(v, x -> 0)
+          |ELSE transform(v, x -> CAST(round((x - mn) / scale) AS INT))
+          |END AS codes""".stripMargin)
+      .selectExpr(
+        "vec_id",
+        "CAST(size(codes) AS BIGINT) AS n_dims",
+        "round(mn, 4) AS q_min",
+        "round(mx, 4) AS q_max",
+        "aggregate(codes, CAST(0 AS BIGINT), (a, x) -> a + x) AS code_sum",
+        """round(aggregate(transform(sequence(1, size(codes)),
+          |  i -> (element_at(v, i) - (mn + element_at(codes, i) * scale)) *
+          |       (element_at(v, i) - (mn + element_at(codes, i) * scale))),
+          |  CAST(0 AS DOUBLE), (a, x) -> a + x) / size(codes), 8) AS mse"""
+          .stripMargin)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t10_knn_bruteforce" -> ((s, d) => knnBruteForce(s, d)),
     "t11_ann_lsh" -> ((s, d) => annLsh(s, d)),
-    "t14_ann_ivf" -> ((s, d) => annIvf(s, d))
+    "t14_ann_ivf" -> ((s, d) => annIvf(s, d)),
+    "t16_quantize_int8" -> ((s, d) => quantizeInt8(s, d))
   )
 
   /** Full DuckDB oracle for the brute-force kNN baseline: both engines
@@ -207,6 +237,29 @@ object Similarity {
         |                            ORDER BY cosine DESC, neighbor_id) AS rank
         |  FROM pairs)
         |SELECT query_id, neighbor_id, cosine, rank
-        |FROM ranked WHERE rank <= 5""".stripMargin
+        |FROM ranked WHERE rank <= 5""".stripMargin,
+    "t16_quantize_int8" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx,
+        |         (list_max(v) - list_min(v)) / 255 AS scale
+        |  FROM e),
+        |q AS (
+        |  SELECT vec_id, v, mn, mx, scale,
+        |         CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+        |              ELSE list_transform(v,
+        |                     x -> CAST(round((x - mn) / scale) AS INT))
+        |         END AS codes
+        |  FROM s)
+        |SELECT vec_id,
+        |       CAST(len(codes) AS BIGINT) AS n_dims,
+        |       round(mn, 4) AS q_min,
+        |       round(mx, 4) AS q_max,
+        |       CAST(list_sum(codes) AS BIGINT) AS code_sum,
+        |       round(list_sum(list_transform(generate_series(1, len(codes)),
+        |             i -> (v[i] - (mn + codes[i] * scale)) *
+        |                  (v[i] - (mn + codes[i] * scale)))) / len(codes), 8) AS mse
+        |FROM q""".stripMargin
   )
 }

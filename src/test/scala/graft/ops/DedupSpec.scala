@@ -142,6 +142,28 @@ class DedupSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).sorted))
   }
 
+  test("int8 quantization: codes span 0..255, reconstruction error < scale/2 per dim") {
+    val rows = Similarity.quantizeInt8(spark, plantedDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nDims = r.getAs[Long]("n_dims")
+      val mn = r.getAs[Double]("q_min")
+      val mx = r.getAs[Double]("q_max")
+      val mse = r.getAs[Double]("mse")
+      assert(nDims > 0 && mx >= mn)
+      // per-dim quantization error is bounded by scale/2, so
+      // mse <= (scale/2)^2; scale here from the ROUNDED bounds is within
+      // 1e-4 of the true scale — use a slack factor
+      val scale = (mx - mn) / 255
+      assert(mse >= 0.0 && mse <= scale * scale / 4 * 1.1 + 1e-9,
+        s"mse $mse vs bound ${scale * scale / 4}")
+    }
+    // plan is narrow: no shuffle
+    val p = Similarity.quantizeInt8(spark, plantedDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"unexpected shuffle:\n$p")
+  }
+
   test("composite dedup pipeline: exact then near, greedy min-id keeper") {
     val rows = Dedup.dedupPipeline(spark, plantedDir, estTh = 0.5, jaccardTh = 0.8)
       .collect()
