@@ -600,13 +600,39 @@ object Patterns {
 
   private def processInner(root: Elem, url: String, ctx: Ctx): Unit = {
     // classid synthesis (patterns.py:454-457).
-    val cls = separateWords(Option(root.attr("class")).getOrElse(""))
-    val id = separateWords(Option(root.attr("id")).getOrElse(""))
+    val clsRaw = root.attr("class")
+    val idRaw = root.attr("id")
+    val cls = separateWords(if (clsRaw == null) "" else clsRaw)
+    val id = separateWords(if (idRaw == null) "" else idRaw)
     val classid = Py.strip(Py.strip(cls) + "!!!" + Py.strip(id), "!")
     root.setAttr("classid", classid)
 
     score(root, url, ctx)
     if (stripTest(root, ctx)) return
-    for (tag <- root.childElems) processInner(tag, url, ctx)
+    // snapshot the child ELEMS before recursing (the reference iterates a
+    // bs4 findAll result list: a child stripping itself must not shift
+    // its next sibling out of the iteration) — flat array, not the
+    // childElems collect-to-Seq allocation chain per element
+    val cs = root.children
+    var n = 0
+    var i = 0
+    while (i < cs.length) {
+      if (cs(i).isInstanceOf[Elem]) n += 1
+      i += 1
+    }
+    if (n > 0) {
+      val snap = new Array[Elem](n)
+      var j = 0
+      i = 0
+      while (i < cs.length) {
+        cs(i) match {
+          case e: Elem => snap(j) = e; j += 1
+          case _       =>
+        }
+        i += 1
+      }
+      j = 0
+      while (j < n) { processInner(snap(j), url, ctx); j += 1 }
+    }
   }
 }
