@@ -244,16 +244,49 @@ final class Elem(var name: String) extends DNode {
     }
   }
 
-  /** bs4 findAll(pred): descendant elems matching, doc order. */
-  def findAll(pred: Elem => Boolean): Seq[Elem] =
-    descendants.collect { case e: Elem if pred(e) => e }.toSeq
+  /** bs4 findAll(pred): descendant elems matching, doc (pre-)order.
+    * Direct recursive fill into one buffer — this and find/findTexts are
+    * called once per pass per document, and the former
+    * iterator+collect+List chain was a measurable allocation source.
+    */
+  def findAll(pred: Elem => Boolean): collection.Seq[Elem] = {
+    val out = new mutable.ArrayBuffer[Elem]
+    def rec(e: Elem): Unit = {
+      val cs = e.children
+      var i = 0
+      while (i < cs.length) {
+        cs(i) match {
+          case c: Elem =>
+            if (pred(c)) out += c
+            rec(c)
+          case _ =>
+        }
+        i += 1
+      }
+    }
+    rec(this)
+    out
+  }
 
-  def findAll(name: String): Seq[Elem] = findAll(_.name == name)
+  def findAll(name: String): collection.Seq[Elem] = findAll(_.name == name)
 
-  def findAll(names: Set[String]): Seq[Elem] = findAll(e => names(e.name))
+  def findAll(names: Set[String]): collection.Seq[Elem] = findAll(e => names(e.name))
 
-  def find(pred: Elem => Boolean): Elem =
-    descendants.collectFirst { case e: Elem if pred(e) => e }.orNull
+  def find(pred: Elem => Boolean): Elem = {
+    val cs = children
+    var i = 0
+    while (i < cs.length) {
+      cs(i) match {
+        case c: Elem =>
+          if (pred(c)) return c
+          val r = c.find(pred)
+          if (r != null) return r
+        case _ =>
+      }
+      i += 1
+    }
+    null
+  }
 
   def find(name: String): Elem = find((e: Elem) => e.name == name)
 
@@ -264,8 +297,23 @@ final class Elem(var name: String) extends DNode {
   def childTexts: Seq[Text] = children.collect { case t: Text => t }.toSeq
 
   /** bs4 findAll(text=True): ALL string-node descendants incl. comments. */
-  def findTexts: Seq[Text] =
-    descendants.collect { case t: Text => t }.toSeq
+  def findTexts: collection.Seq[Text] = {
+    val out = new mutable.ArrayBuffer[Text]
+    def rec(e: Elem): Unit = {
+      val cs = e.children
+      var i = 0
+      while (i < cs.length) {
+        cs(i) match {
+          case c: Elem => rec(c)
+          case t: Text => out += t
+          case _       =>
+        }
+        i += 1
+      }
+    }
+    rec(this)
+    out
+  }
 
   /** bs4 Tag.text / get_text(): visible strings concatenated. */
   def text: String = {
@@ -375,7 +423,8 @@ final class Elem(var name: String) extends DNode {
       sb.append("/>")
     } else {
       sb.append('>')
-      children.foreach(_.serialize(sb))
+      var i = 0
+      while (i < children.length) { children(i).serialize(sb); i += 1 }
       sb.append("</").append(name).append('>')
     }
   }
