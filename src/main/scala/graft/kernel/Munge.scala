@@ -46,7 +46,11 @@ object Munge {
             mungeHeaderDowngrade(tag)
             mungeHyphenate(tag)
             mungeNoscript(tag)
-            tag.serialized
+            // presized buffer: the default 16-char builder doubles ~10
+            // times for a typical article (repeated array copies)
+            val sb = new StringBuilder(1 << 14)
+            tag.serialize(sb)
+            sb.toString
           case t => t.serialized // text selection (defensive)
         }
     }

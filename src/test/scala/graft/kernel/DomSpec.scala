@@ -90,6 +90,23 @@ class DomSpec extends AnyFunSuite {
     assert(d.attrs.size == 12)
   }
 
+  test("AttrMap: insertion order, update-in-place, remove shifts left") {
+    val m = new AttrMap
+    m("a") = "1"; m("b") = "2"; m("c") = "3"
+    assert(m.size == 3 && m.keysIterator.toList == List("a", "b", "c"))
+    m("b") = "two" // update keeps position
+    assert(m.keysIterator.toList == List("a", "b", "c") && m.get("b").contains("two"))
+    m.remove("a")
+    assert(m.keysIterator.toList == List("b", "c") && !m.contains("a"))
+    m.remove("zzz") // no-op
+    assert(m.size == 2)
+    m("d") = null // bare attr
+    assert(m.contains("d") && m.get("d").contains(null))
+    var seen = List.empty[(String, String)]
+    m.foreachEntry((k, v) => seen = seen :+ (k, v))
+    assert(seen == List(("b", "two"), ("c", "3"), ("d", null)))
+  }
+
   test("getText with separator vs fast empty-sep path agree on content") {
     val doc = parse("<div>a<span>b</span>c<!--no--><script>raw</script></div>")
     val d = doc.find("div")
