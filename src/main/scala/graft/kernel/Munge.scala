@@ -44,12 +44,14 @@ object Munge {
             fixUrls(tag, url)
             mungeImages(tag)
             mungeHeaderDowngrade(tag)
-            mungeHyphenate(tag)
             mungeNoscript(tag)
-            // presized buffer: the default 16-char builder doubles ~10
-            // times for a typical article (repeated array copies)
+            // M11+M13 fused: hyphenation applied at serialize time (no
+            // findTexts pass, no per-node replaceWith) — byte-equivalent
+            // to mungeHyphenate-then-serialize, spec'd in MungeSpec.
+            // Presized buffer: the default 16-char builder doubles ~10
+            // times for a typical article (repeated array copies).
             val sb = new StringBuilder(1 << 14)
-            tag.serialize(sb)
+            serializeHyphenated(tag, sb)
             sb.toString
           case t => t.serialized // text selection (defensive)
         }
@@ -318,4 +320,60 @@ object Munge {
   /** clean.py:270-272 (M12) */
   def mungeNoscript(root: Elem): Unit =
     for (tag <- root.findAll("noscript")) tag.name = "div"
+
+  // ---- M11+M13 fusion ------------------------------------------------
+  // Serialize with hyphenation applied on the fly.  Byte-equivalent to
+  // `mungeHyphenate(root)` followed by `root.serialize`, replicating the
+  // reference quirks the two-pass version encodes:
+  //  - EVERY string node outside <pre> (plain Text, but also Comment,
+  //    RawText and Directive/ProcIn — bs4 findAll(text=True) returns all
+  //    NavigableStrings) is coerced to plain text, hyphenated, and
+  //    serialized ESCAPED;
+  //  - string nodes with a <pre> ancestor (including ancestors ABOVE the
+  //    selection root) keep their original node-type serialization.
+  // The element branch must stay in lockstep with Elem.serialize
+  // (score-attr float repr, void handling).
+
+  /** Serialize `root` into `sb` with M11 hyphenation fused in. */
+  def serializeHyphenated(root: Elem, sb: StringBuilder): Unit =
+    serializeHyphElem(root, sb, root.findParent(PreOnly) != null)
+
+  private def serializeHyphElem(
+      e: Elem, sb: StringBuilder, inPre: Boolean): Unit = {
+    if (e.isDocument) {
+      val cs = e.children
+      var i = 0
+      while (i < cs.length) { serializeHyphNode(cs(i), sb, inPre); i += 1 }
+      return
+    }
+    sb.append('<').append(e.name)
+    e.attrs.foreachEntry { (k, v) =>
+      sb.append(' ').append(k)
+      if (k == "score" && e.hasScore) {
+        sb.append("=\"").append(Py.floatRepr(e.score)).append('"')
+      } else if (v != null) {
+        sb.append("=\"")
+        Dom.escapeAttr(v, sb)
+        sb.append('"')
+      }
+    }
+    if (Dom.VoidElements.contains(e.name) && e.children.isEmpty) {
+      sb.append("/>")
+    } else {
+      sb.append('>')
+      val childPre = inPre || e.name == "pre"
+      val cs = e.children
+      var i = 0
+      while (i < cs.length) { serializeHyphNode(cs(i), sb, childPre); i += 1 }
+      sb.append("</").append(e.name).append('>')
+    }
+  }
+
+  private def serializeHyphNode(
+      n: DNode, sb: StringBuilder, inPre: Boolean): Unit = n match {
+    case el: Elem => serializeHyphElem(el, sb, inPre)
+    case t: Text =>
+      if (inPre) t.serialize(sb) // hyphenate pass skips pre-descendants
+      else Dom.escapeText(hyphenateRun(t.data), sb)
+  }
 }

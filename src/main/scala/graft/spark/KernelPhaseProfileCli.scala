@@ -91,7 +91,7 @@ object KernelPhaseProfileCli {
       val passNames = Array(
         "site", "brsAfterPs", "rules(hr)", "empties", "rootContainers",
         "lowScored", "stripAttrs", "fixUrls", "images", "headerDowngrade",
-        "hyphenate", "noscript", "serialize")
+        "noscript", "serializeHyph(fused)")
       val acc = new Array[Long](passNames.length)
       corpus.foreach { case (u, h) => // warmup
         val r = Extract.extractFromHtml(u, h)
@@ -117,9 +117,12 @@ object KernelPhaseProfileCli {
             step(Munge.fixUrls(tag, u))
             step(Munge.mungeImages(tag))
             step(Munge.mungeHeaderDowngrade(tag))
-            step(Munge.mungeHyphenate(tag))
             step(Munge.mungeNoscript(tag))
-            step(tag.serialized)
+            step {
+              val out = new StringBuilder(1 << 14)
+              Munge.serializeHyphenated(tag, out)
+              out.toString
+            }
           case _ =>
         }
       }

@@ -120,6 +120,40 @@ class MungeSpec extends AnyFunSuite {
       .contains("<div>alt body text</div>"))
   }
 
+  test("fused hyphenating serializer == mungeHyphenate then serialize") {
+    // every quirk class: plain text, entities kept verbatim, comments and
+    // raw script text downgraded+escaped+hyphenated, <pre> exempt (incl.
+    // nested), directive/PI nodes, score attrs, void elems, multi-space
+    val html = "<div class=\"c\"><p>extraordinary hyphenation   example</p>" +
+      "<pre>unhyphenatable   preserved <b>extraordinary</b></pre>" +
+      "<script>if (a &lt; b) { international(); }</script>" +
+      "<!-- considerable commentary --><?pi data?><!DIRECTIVE>" +
+      "<p>ent&amp;ities &hellip; remain</p><img src=\"x.png\"><br></div>"
+    val doc1 = HtmlParser.parse(html)
+    val root1 = doc1.find("div")
+    root1.setScore(7.0)
+    Munge.mungeHyphenate(root1)
+    val twoPass = root1.serialized
+
+    val doc2 = HtmlParser.parse(html)
+    val root2 = doc2.find("div")
+    root2.setScore(7.0)
+    val sb = new StringBuilder
+    Munge.serializeHyphenated(root2, sb)
+    assert(sb.toString == twoPass)
+
+    // selection root INSIDE a <pre>: whole subtree exempt in both paths
+    val p1 = HtmlParser.parse("<pre><div>extraordinary   spacing</div></pre>")
+    val in1 = p1.find("div")
+    Munge.mungeHyphenate(in1)
+    val exp = in1.serialized
+    val p2 = HtmlParser.parse("<pre><div>extraordinary   spacing</div></pre>")
+    val in2 = p2.find("div")
+    val sb2 = new StringBuilder
+    Munge.serializeHyphenated(in2, sb2)
+    assert(sb2.toString == exp)
+  }
+
   test("string selection returned as-is (clean.py:195-197)") {
     val doc = HtmlParser.parse("<p>x</p>")
     assert(Munge.munge(doc, Extract.SelStr("<p>Scoring error.</p>"), "u")
