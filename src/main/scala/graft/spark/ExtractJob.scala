@@ -126,31 +126,44 @@ object ExtractJob {
     *     rows, each with ≤5 samples) in case AQE ever splits a pid across
     *     tasks; all aggregates are sums/flattens of bounded values.
     */
-  def lineage(extracted: Dataset[ExtractedRow], runId: String): Dataset[LineageRow] = {
-    val spark = extracted.sparkSession
+  def lineage(extracted: Dataset[ExtractedRow], runId: String): Dataset[LineageRow] =
+    lineageFromColumns(extracted.toDF(), runId)
+
+  /** Lineage over any relation carrying (pid, url, error, in_bytes,
+    * wall_us) — the narrow-column form matters: when lineage is computed
+    * from a READ-BACK of the written output (runToDir), selecting these
+    * five columns before the typed mapPartitions lets parquet prune the
+    * `content` blob column instead of deserializing it per row.
+    */
+  def lineageFromColumns(rel: DataFrame, runId: String): Dataset[LineageRow] = {
+    val spark = rel.sparkSession
     import spark.implicits._
-    val partials = extracted.mapPartitions { it =>
-      class Acc {
-        var n, bytes, ok, fail, wallUs = 0L
-        val samples = List.newBuilder[FailureSample]
-      }
-      val acc = scala.collection.mutable.LinkedHashMap.empty[Int, Acc]
-      it.foreach { r =>
-        val a = acc.getOrElseUpdate(r.pid, new Acc)
-        a.n += 1L
-        a.bytes += r.in_bytes
-        if (r.error == null) a.ok += 1L
-        else {
-          a.fail += 1L
-          if (a.fail <= MaxFailureSamples)
-            a.samples += FailureSample(r.url, r.error)
+    val partials = rel
+      .select(col("pid").cast("int"), col("url"), col("error"),
+        col("in_bytes").cast("long"), col("wall_us").cast("long"))
+      .as[(Int, String, String, Long, Long)]
+      .mapPartitions { it =>
+        class Acc {
+          var n, bytes, ok, fail, wallUs = 0L
+          val samples = List.newBuilder[FailureSample]
         }
-        a.wallUs += r.wall_us
+        val acc = scala.collection.mutable.LinkedHashMap.empty[Int, Acc]
+        it.foreach { case (pid, url, error, inBytes, wallUs) =>
+          val a = acc.getOrElseUpdate(pid, new Acc)
+          a.n += 1L
+          a.bytes += inBytes
+          if (error == null) a.ok += 1L
+          else {
+            a.fail += 1L
+            if (a.fail <= MaxFailureSamples)
+              a.samples += FailureSample(url, error)
+          }
+          a.wallUs += wallUs
+        }
+        acc.iterator.map { case (pid, a) =>
+          LineagePartial(pid, a.n, a.bytes, a.ok, a.fail, a.samples.result(), a.wallUs)
+        }
       }
-      acc.iterator.map { case (pid, a) =>
-        LineagePartial(pid, a.n, a.bytes, a.ok, a.fail, a.samples.result(), a.wallUs)
-      }
-    }
     partials
       .groupBy(col("pid"))
       .agg(
@@ -254,7 +267,7 @@ object ExtractJob {
         pending.filter(col("pid").isin(keep: _*))
       }
 
-    val extracted = extract(scope, buckets, maxHtmlBytes).cache()
+    val extracted = extract(scope, buckets, maxHtmlBytes)
     val prevOverwriteMode =
       spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -263,10 +276,23 @@ object ExtractJob {
         .mode(SaveMode.Overwrite)
         .partitionBy("pid")
         .parquet(s"$outDir/extracted")
+      // Lineage from a READ-BACK of the files just written, not from a
+      // cached extracted dataset: at 10^12 docs caching the full output
+      // (content included) to feed a second consumer is the wrong shape —
+      // the read-back touches only the five narrow lineage columns
+      // (parquet prunes the content blob entirely; see
+      // PlanSpec "lineage read-back never touches the content column").
+      // The pid scope of THIS run is recomputed from the pruned scan
+      // (url+pid only — no kernel work) and semi-joined so lineage never
+      // covers pids published by an earlier crashed-or-committed run.
+      val writtenPids = scope.select(col("pid")).distinct()
+      val readBack = spark.read.parquet(s"$outDir/extracted")
+        .join(broadcast(writtenPids), Seq("pid"), "left_semi")
       // lineage commits LAST: a pid is "done" only once its lineage row
       // exists, so a crash between the two writes re-runs (and
       // re-overwrites) the pid.
-      lineage(extracted, runId).write.mode(SaveMode.Append).parquet(lineagePath)
+      lineageFromColumns(readBack, runId)
+        .write.mode(SaveMode.Append).parquet(lineagePath)
     } finally {
       prevOverwriteMode match {
         case Some(v) =>
@@ -274,7 +300,6 @@ object ExtractJob {
         case None =>
           spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
-      extracted.unpersist()
     }
   }
 }

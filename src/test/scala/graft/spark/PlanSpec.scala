@@ -130,4 +130,30 @@ class PlanSpec extends SparkSpec {
     assert(!readSchema.contains("failure_samples"),
       s"wide column not pruned: $readSchema")
   }
+
+  test("lineage read-back never touches the content column") {
+    // runToDir computes lineage from a read-back of the written output;
+    // at 10^12 docs the content blob column must be pruned at the scan
+    // (this replaced an extracted.cache() that materialized the full
+    // output a second time).
+    val dir = Files.createTempDirectory("graft-plan4").toString
+    val s = spark
+    import s.implicits._
+    Seq(
+      graft.spark.ExtractedRow("u1", 0, "big content", "", null, 10L, 5L),
+      graft.spark.ExtractedRow("u2", 1, "more content", "", "err", 20L, 6L))
+      .toDS().write.partitionBy("pid").parquet(s"$dir/extracted")
+    val readBack = spark.read.parquet(s"$dir/extracted")
+    val lin = graft.spark.ExtractJob.lineageFromColumns(readBack, "r")
+    val readSchema = plan(lin.toDF()).linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("url") && readSchema.contains("in_bytes"),
+      s"lineage columns missing from scan: $readSchema")
+    assert(!readSchema.contains("content"),
+      s"content blob not pruned from lineage scan: $readSchema")
+    // and the rows are right
+    val rows = lin.collect().sortBy(_.partition_id)
+    assert(rows.map(r => (r.partition_id, r.input_count, r.ok_count, r.fail_count)).toSeq
+      == Seq((0, 1L, 1L, 0L), (1, 1L, 0L, 1L)))
+  }
 }
