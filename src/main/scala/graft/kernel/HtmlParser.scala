@@ -38,6 +38,31 @@ object HtmlParser {
     }
   }
 
+  // Tag/attr-name interning: names are extremely Zipfian (div/p/a/span,
+  // href/class/src/id...), so a direct-mapped cache keyed on the raw char
+  // range returns a SHARED canonical lowercase string without the
+  // per-occurrence substring+toLowerCase allocations.  Slots hold one
+  // immutable entry each (array reference writes are atomic, entries are
+  // final) so global racy replacement is safe; collisions just replace.
+  private final class NameEntry(val raw: String, val canon: String)
+  private final val NameBits = 12
+  private val nameSlots = new Array[NameEntry](1 << NameBits)
+
+  /** Canonical lowercase copy of `s[from,until)` via the intern cache. */
+  private def canonName(s: String, from: Int, until: Int): String = {
+    var h = 0
+    var i = from
+    while (i < until) { h = h * 31 + s.charAt(i); i += 1 }
+    val idx = (h ^ (h >>> 16)) & ((1 << NameBits) - 1)
+    val e = nameSlots(idx)
+    if (e != null && e.raw.length == until - from &&
+        s.regionMatches(from, e.raw, 0, until - from)) return e.canon
+    val raw = s.substring(from, until)
+    val canon = raw.toLowerCase
+    nameSlots(idx) = new NameEntry(raw, canon)
+    canon
+  }
+
   private val CdataElements = Set("script", "style")
   // precompiled raw-text terminators (the per-tag Pattern.compile showed
   // up in the r03 parse profile — script/style are the only members)
@@ -147,7 +172,7 @@ object HtmlParser {
             if (i + 2 < n && isNameStart(html.charAt(i + 2))) {
               var j = i + 2
               while (j < n && !isNameEnd(html.charAt(j))) j += 1
-              val name = html.substring(i + 2, j).toLowerCase
+              val name = canonName(html, i + 2, j)
               val gt = html.indexOf('>', j)
               val next = if (gt < 0) n else gt + 1
               flushText()
@@ -282,7 +307,7 @@ object HtmlParser {
            !isSpaceChar(html.charAt(i))) i += 1
     if (i >= n) return false
     out.reset()
-    out.name = html.substring(nameStart, i).toLowerCase
+    out.name = canonName(html, nameStart, i)
     var done = false
     while (!done) {
       while (i < n && isSpaceChar(html.charAt(i))) i += 1
@@ -300,7 +325,7 @@ object HtmlParser {
                html.charAt(i) != '=' && html.charAt(i) != '>' &&
                html.charAt(i) != '/') i += 1
         if (i >= n) return false
-        val aname = html.substring(as, i).toLowerCase
+        val aname = canonName(html, as, i)
         while (i < n && isSpaceChar(html.charAt(i))) i += 1
         var avalue: String = null
         if (i < n && html.charAt(i) == '=') {
