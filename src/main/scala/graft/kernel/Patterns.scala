@@ -294,6 +294,8 @@ object Patterns {
       tag.find((e: Elem) => TagNamesBlock.contains(e.name)) == null
 
   private val ReBlockquoteList = Pattern.compile("(<br.*?> - .*){2,}")
+  private val ReStyleWidth = Pattern.compile("width:\\s*(\\d+)px")
+  private val ReStyleHeight = Pattern.compile("height:\\s*(\\d+)px")
 
   /** patterns.py:299-309 */
   def isList(tag: Elem): Boolean = {
@@ -316,8 +318,8 @@ object Patterns {
       w = tag.attr("width"); h = tag.attr("height")
     } else if (tag.hasAttr("style")) {
       val style = tag.attr("style")
-      val mw = Pattern.compile("width:\\s*(\\d+)px").matcher(style)
-      val mh = Pattern.compile("height:\\s*(\\d+)px").matcher(style)
+      val mw = ReStyleWidth.matcher(style)
+      val mh = ReStyleHeight.matcher(style)
       if (mw.find() && mh.find()) { w = mw.group(1); h = mh.group(1) }
       else return -1
     } else return -1
@@ -604,7 +606,11 @@ object Patterns {
     val idRaw = root.attr("id")
     val cls = separateWords(if (clsRaw == null) "" else clsRaw)
     val id = separateWords(if (idRaw == null) "" else idRaw)
-    val classid = Py.strip(Py.strip(cls) + "!!!" + Py.strip(id), "!")
+    // fast path for the dominant no-class/no-id case: "" + "!!!" + ""
+    // strips to "" — skip the three concat/strip allocations
+    val classid =
+      if (cls.isEmpty && id.isEmpty) ""
+      else Py.strip(Py.strip(cls) + "!!!" + Py.strip(id), "!")
     root.setAttr("classid", classid)
 
     score(root, url, ctx)
