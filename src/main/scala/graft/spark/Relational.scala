@@ -20,17 +20,24 @@ object Relational {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** D1 key derivation as a reusable column expression: base64(raw
+    * sha256 digest). Spark's sha2 returns hex → unhex → base64 for
+    * bit-fidelity with the reference's raw-digest base64
+    * (feed.py:142-148). Shared by the batch D1 query and the streaming
+    * dedup (StreamingExtract.dedupStream) so both agree on identity.
+    */
+  def entryKeyCol(src: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    base64(unhex(sha2(src, 256)))
+
   /** D1 — content-key derivation: base64(sha256(id|status)), the reference's
-    * entry dedup key (feed.py:142-148). Spark's sha2 returns hex → unhex →
-    * base64 for bit-fidelity with the reference's raw-digest base64.
+    * entry dedup key (feed.py:142-148).
     */
   def d1EntryKey(spark: SparkSession, sfDir: String): DataFrame =
     table(spark, sfDir, "orders")
       .select(
         col("o_orderkey"),
-        base64(unhex(sha2(
-          concat(col("o_orderkey").cast("string"), lit("|"), col("o_orderstatus")),
-          256))).as("entry_key"))
+        entryKeyCol(concat(col("o_orderkey").cast("string"), lit("|"),
+          col("o_orderstatus"))).as("entry_key"))
 
   /** D2 — dedup-against-existing as a LEFT ANTI join (feed.py:200-211).
     * At scale: the "existing keys" side is the small one (50/feed in the

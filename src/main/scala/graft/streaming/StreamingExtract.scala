@@ -77,6 +77,24 @@ object StreamingExtract {
         col("ok_count"), col("fail_count"))
   }
 
+  /** Streaming dedup-by-key — the D2 analogue on an unbounded stream
+    * (SURVEY.md §2.10): first occurrence of each entry key within the
+    * watermark horizon passes, repeats drop.  `dropDuplicatesWithinWatermark`
+    * bounds state to keys seen inside the delay window (plain
+    * dropDuplicates on a stream grows state forever — the 10^12-row
+    * anti-pattern).  Key derivation is the SAME D1 expression the batch
+    * path uses (base64(unhex(sha2))) so batch and stream agree on
+    * identity.
+    */
+  def dedupStream(
+      pages: DataFrame,
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    pages
+      .withColumn("entry_key", graft.spark.Relational.entryKeyCol(col("url")))
+      .withWatermark("warc_ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("entry_key")
+  }
+
   /** One fetch outcome observed on the stream. */
   final case class FetchEvent(feed_url: String, fetch_time: Double, new_items: Int)
 

@@ -80,6 +80,32 @@ class StreamingSpec extends SparkSpec {
     assert(lineagePlan.contains("EventTimeWatermark"), lineagePlan.take(500))
   }
 
+  test("streaming dedup-by-key: first occurrence passes, repeats drop, state bounded") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val source = MemoryStream[Page]
+    val base = PagesGen.fromDocuments(spark, sf001).limit(6).collect()
+    val t0 = 1767225600000L
+    // each page sent twice (identical url → identical D1 key)
+    val staged = (base ++ base).zipWithIndex.map { case (p, i) =>
+      p.copy(warc_ts = new java.sql.Timestamp(t0 + i * 60000L))
+    }
+    source.addData(staged.toSeq)
+    val q = StreamingExtract.dedupStream(source.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val urls = spark.table("dedup_out").select("url").as[String].collect()
+    assert(urls.length == base.length, s"expected ${base.length} uniques, got ${urls.length}")
+    assert(urls.toSet == base.map(_.url).toSet)
+    // the watermark (bounded state) is in the plan, and the key is D1's
+    val plan = StreamingExtract.dedupStream(source.toDF())
+      .queryExecution.analyzed.toString
+    assert(plan.contains("EventTimeWatermark"), plan.take(500))
+    assert(plan.toLowerCase.contains("sha2"), plan.take(800))
+  }
+
   test("pure transition clamps to [3600, 259200]") {
     var st = FeedState(0.0, 4000.0)
     st = StreamingExtract.step(Some(st), FetchEvent("f", 1.0, 3))
