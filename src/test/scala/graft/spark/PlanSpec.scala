@@ -31,14 +31,29 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("t15 repetition metrics plan is narrow: no shuffle, pruned scan") {
-    // per-row higher-order functions only — any Exchange here means the
-    // op stopped being a linear single-pass filter feature. (HOF lambdas
-    // are CodegenFallback in Spark, so no WholeStageCodegen assertion.)
-    val p = plan(graft.ops.TextOps.repetition(spark, sf001))
-    assert(!p.contains("Exchange"), s"unexpected shuffle:\n$p")
-    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
-      s"scan not pruned to (doc_id, text):\n$p")
+  test("per-row ops plan narrow: no shuffle anywhere, scans pruned") {
+    // every per-row operator (token/quality/lang/fingerprint/repetition/
+    // quantization) must stay a linear single-pass map — an Exchange in
+    // any of them is a scale regression. (HOF lambdas are CodegenFallback
+    // in Spark, so no WholeStageCodegen assertion.)
+    val perRow = Seq(
+      "t2" -> graft.ops.TextOps.tokenCount(spark, sf001),
+      "t3" -> graft.ops.TextOps.qualityScore(spark, sf001),
+      "t4" -> graft.ops.TextOps.langId(spark, sf001),
+      "t5" -> graft.ops.TextOps.fingerprint(spark, sf001),
+      "t15" -> graft.ops.TextOps.repetition(spark, sf001),
+      "t16" -> graft.ops.Similarity.quantizeInt8(spark, sf001))
+    for ((nm, df) <- perRow) {
+      val p = plan(df)
+      assert(!p.contains("Exchange"), s"$nm: unexpected shuffle:\n$p")
+    }
+    // scans prune to exactly the consumed columns
+    val p15 = plan(graft.ops.TextOps.repetition(spark, sf001))
+    assert(p15.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"t15 scan not pruned to (doc_id, text):\n$p15")
+    val p16 = plan(graft.ops.Similarity.quantizeInt8(spark, sf001))
+    assert(p16.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"),
+      s"t16 scan not pruned to (vec_id, embedding):\n$p16")
   }
 
   test("t1 exact dedup aggregates with a map-side partial (one shuffle)") {
