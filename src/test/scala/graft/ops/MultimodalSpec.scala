@@ -38,6 +38,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeImageFeatures("not a png".getBytes).isEmpty)
   }
 
+  test("image decode handles JPEG and GIF containers, not just PNG") {
+    // decodeImageFeatures goes through ImageIO (pure JVM) — the same
+    // path must accept every common web image container; features come
+    // from decoded pixels, so an all-gray image lands in one bin
+    val img = new java.awt.image.BufferedImage(
+      12, 10, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 10; x <- 0 until 12) img.setRGB(x, y, 0x808080)
+    for (fmt <- Seq("jpg", "gif", "bmp")) {
+      val baos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, baos), s"no $fmt writer")
+      val feat = Multimodal.decodeImageFeatures(baos.toByteArray)
+      assert(feat.isDefined, s"$fmt payload rejected")
+      assert(math.abs(feat.get.sum - 1.0) < 1e-9, s"$fmt histogram not normalized")
+      // 0x80 luminance → bin 8 dominates (JPEG may shift ±1 level)
+      assert(feat.get(8) > 0.9, s"$fmt histogram not concentrated: ${feat.get.toSeq}")
+    }
+  }
+
   test("WAV decode: parses RIFF PCM samples into a normalized histogram") {
     val wav = Multimodal.synthWav(5)
     val feat = Multimodal.decodeWavFeatures(wav).get
