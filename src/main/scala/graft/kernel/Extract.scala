@@ -100,9 +100,42 @@ object Extract {
 
   private val ReDoctype = Pattern.compile("<!DOCTYPE.*?>", Pattern.DOTALL)
 
-  /** util.py:167-170 */
-  def preCleanHtml(html: String): String =
-    ReDoctype.matcher(html).replaceAll("").replace("&nbsp;", " ")
+  /** util.py:167-170 — `re.sub(r'<!DOCTYPE.*?>') then .replace('&nbsp;')`
+    * as ONE copying scan instead of two (regex engine pass + full-copy
+    * replace per document).  `<!DOCTYPE.*?>` DOTALL non-greedy ≡ skip to
+    * the first '>' (no '>' → no match, chars pass through); neither
+    * Python's re.sub nor this scan rescans assembled output.  A `&nbsp;`
+    * that only materializes when a DOCTYPE is cut out from inside it
+    * ("&nb<!DOCTYPE x>sp;") is caught by the post-scan contains check,
+    * which replays the reference's second pass — exact equivalence.
+    */
+  def preCleanHtml(html: String): String = {
+    if (html.indexOf("<!DOCTYPE") < 0 && html.indexOf("&nbsp;") < 0)
+      return html
+    val n = html.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    var run = 0
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<' && html.startsWith("<!DOCTYPE", i)) {
+        val gt = html.indexOf('>', i + 9)
+        if (gt >= 0) {
+          sb.append(html, run, i)
+          i = gt + 1
+          run = i
+        } else i += 1
+      } else if (c == '&' && html.startsWith("&nbsp;", i)) {
+        sb.append(html, run, i)
+        sb.append(' ')
+        i += 6
+        run = i
+      } else i += 1
+    }
+    sb.append(html, run, n)
+    val out = sb.toString
+    if (out.contains("&nbsp;")) out.replace("&nbsp;", " ") else out
+  }
 
   /** util.py:94-97 */
   def commentStrip(soup: Elem): Unit =
