@@ -99,8 +99,9 @@ object Multimodal {
 
   // --------------------------------------------------------------- decode
 
-  /** Real PNG decode → normalized 16-bin luminance histogram; None if the
-    * payload is not a decodable image.
+  /** Real image decode (ImageIO — accepts PNG/JPEG/GIF/BMP, pure JVM;
+    * MultimodalSpec pins all formats) → normalized 16-bin luminance
+    * histogram; None if the payload is not a decodable image.
     */
   def decodeImageFeatures(payload: Array[Byte]): Option[Array[Double]] = {
     val img =
