@@ -102,6 +102,16 @@ object ExtractJob {
         } catch {
           // NonFatal only: OutOfMemoryError/LinkageError must fail the task,
           // not be laundered into a per-row error (ADVICE r01).
+          // StackOverflowError is the ONE fatal we deliberately convert:
+          // a pathologically deep DOM (adversarial nesting) overflows the
+          // recursive kernel traversals, the stack is fully unwound at
+          // this catch point, and the reference behaves the same way —
+          // CPython raises RecursionError (an Exception, caught by its
+          // per-entry handler) on the same page. One 100k-deep page in
+          // 10^12 must be an error row, not a dead job.
+          case _: StackOverflowError if attempt >= attempts =>
+            out = done(null, "kernel-failure", "StackOverflowError: dom depth")
+          case _: StackOverflowError => // retry (deterministic, will re-fail)
           case scala.util.control.NonFatal(e) if attempt >= attempts =>
             val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
             out = done(null, "kernel-failure", msg)
