@@ -37,9 +37,19 @@ case class ExtractReadable(left: Expression, right: Expression)
   }
 
   override protected def nullSafeEval(url: Any, html: Any): Any = {
-    val c = Clean.clean(
-      url.asInstanceOf[UTF8String].toString,
-      html.asInstanceOf[Array[Byte]])
+    val c =
+      try Clean.clean(
+        url.asInstanceOf[UTF8String].toString,
+        html.asInstanceOf[Array[Byte]])
+      catch {
+        // same contract as ExtractJob.extractOne: a pathologically deep
+        // DOM's StackOverflowError (stack unwound here) becomes an error
+        // struct, not a dead task — the reference catches the equivalent
+        // RecursionError per entry. Other fatals propagate.
+        case _: StackOverflowError =>
+          Clean.Cleaned(null, null, "kernel-failure",
+            "StackOverflowError: dom depth")
+      }
     InternalRow(
       UTF8String.fromString(c.content),
       UTF8String.fromString(c.note),

@@ -41,4 +41,18 @@ class ExtractExpressionSpec extends SparkSpec {
       .collect()(0)
     assert(r.get(0) == null)
   }
+
+  test("extract_readable turns pathological nesting into an error struct") {
+    ExtractReadable.register(spark)
+    val s = spark
+    import s.implicits._
+    val deep = ("<div>" * 100000) + "x" + ("</div>" * 100000)
+    val row = Seq(("http://deep.example/p", deep.getBytes("UTF-8")))
+      .toDF("url", "html")
+      .selectExpr("extract_readable(url, html) AS r")
+      .selectExpr("r.note AS note", "r.error AS error")
+      .collect()(0)
+    assert(row.getAs[String]("error") != null)
+    assert(row.getAs[String]("note") == "kernel-failure")
+  }
 }
