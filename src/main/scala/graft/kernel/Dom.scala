@@ -447,11 +447,14 @@ object Dom {
   def newDocument(): Elem = new Elem(DocumentName)
 
   /** bs4 minimal formatter: text escapes &, <, >. */
-  def escapeText(s: String, sb: StringBuilder): Unit = {
-    val n = s.length
-    var i = 0
-    var from = 0 // clean-run start; bulk-append runs between escapes
-    while (i < n) {
+  def escapeText(s: String, sb: StringBuilder): Unit =
+    escapeTextRange(s, 0, s.length, sb)
+
+  /** Range form — lets callers escape a slice without the substring. */
+  def escapeTextRange(s: String, start: Int, until: Int, sb: StringBuilder): Unit = {
+    var i = start
+    var from = start // clean-run start; bulk-append runs between escapes
+    while (i < until) {
       val c = s.charAt(i)
       if (c == '&' || c == '<' || c == '>') {
         if (i > from) sb.underlying.append(s, from, i)
@@ -460,7 +463,7 @@ object Dom {
       }
       i += 1
     }
-    if (n > from) sb.underlying.append(s, from, n)
+    if (until > from) sb.underlying.append(s, from, until)
   }
 
   /** Attribute values additionally escape the quote. */

@@ -602,10 +602,14 @@ object Hyphenate {
 
   /** Append `hyphenateWordShy(s.substring(from, until))` to `out`,
     * allocation-free when the range is a repeat word on this thread.
-    * Caller guarantees until - from > 4.
+    * Caller guarantees until - from > 4.  `esc = true` HTML-text-escapes
+    * the appended result (escaping is char-local; the soft hyphen is not
+    * an escapable char, so escaping the hyphenated form ≡ hyphenating the
+    * escaped-later form).
     */
   def appendHyphenatedShy(
-      s: String, from: Int, until: Int, out: StringBuilder): Unit = {
+      s: String, from: Int, until: Int, out: StringBuilder,
+      esc: Boolean = false): Unit = {
     val len = until - from
     var h = 0
     var i = from
@@ -613,14 +617,16 @@ object Hyphenate {
     val memo = tlMemo.get()
     val idx = (h ^ (h >>> 16)) & ((1 << TlBits) - 1)
     val k = memo.keys(idx)
-    if (k != null && k.length == len && s.regionMatches(from, k, 0, len)) {
-      out.append(memo.vals(idx))
-      return
-    }
-    val word = s.substring(from, until)
-    val res = hyphenateWordShy(word)
-    memo.keys(idx) = word
-    memo.vals(idx) = res
-    out.append(res)
+    val res =
+      if (k != null && k.length == len && s.regionMatches(from, k, 0, len))
+        memo.vals(idx)
+      else {
+        val word = s.substring(from, until)
+        val r = hyphenateWordShy(word)
+        memo.keys(idx) = word
+        memo.vals(idx) = r
+        r
+      }
+    if (esc) Dom.escapeText(res, out) else out.append(res)
   }
 }

@@ -256,8 +256,19 @@ object Munge {
     * shorter count would match — verified against the regex semantics).
     */
   private def hyphenateRun(s: String): String = {
+    val out = new StringBuilder(s.length + (s.length >> 3))
+    hyphenateRunTo(s, out, esc = false)
+    out.toString
+  }
+
+  /** Append-style form.  With `esc = true` every appended fragment is
+    * HTML-text-escaped on the way out — escaping is char-local, so
+    * per-fragment escape ≡ escapeText of the concatenation; the fused
+    * serializer uses this to skip the intermediate per-text-node string +
+    * second escape scan entirely.
+    */
+  private def hyphenateRunTo(s: String, out: StringBuilder, esc: Boolean): Unit = {
     val n = s.length
-    val out = new StringBuilder(n + (n >> 3))
     var i = 0
     var segStart = 0
     while (i < n) {
@@ -266,15 +277,14 @@ object Munge {
         var k = 0
         while (k < 6 && j < n && s.charAt(j) != ';') { j += 1; k += 1 }
         if (k >= 2 && j < n && s.charAt(j) == ';') {
-          appendHyphenatedWords(s, segStart, i, out)
-          appendRange(s, i, j + 1, out) // the entity, untouched
+          appendHyphenatedWords(s, segStart, i, out, esc)
+          appendRange(s, i, j + 1, out, esc) // the entity, untouched
           i = j + 1
           segStart = i
         } else i += 1
       } else i += 1
     }
-    appendHyphenatedWords(s, segStart, n, out)
-    out.toString
+    appendHyphenatedWords(s, segStart, n, out, esc)
   }
 
   /** `' '.join(hyphenate(w) for w in re.split(r'\s+', part))` for the
@@ -284,7 +294,7 @@ object Munge {
     * Empty parts are skipped entirely (the reference's `if part`).
     */
   private def appendHyphenatedWords(
-      s: String, from: Int, until: Int, out: StringBuilder): Unit = {
+      s: String, from: Int, until: Int, out: StringBuilder, esc: Boolean): Unit = {
     if (from >= until) return
     var i = from
     var wordStart = -1
@@ -292,7 +302,7 @@ object Munge {
     while (i < until) {
       if (Py.isSpace(s.charAt(i))) {
         if (wordStart >= 0) {
-          appendHyphenated(s, wordStart, i, out); wordStart = -1
+          appendHyphenated(s, wordStart, i, out, esc); wordStart = -1
         }
         if (!inWs) { out.append(' '); inWs = true }
       } else {
@@ -301,20 +311,21 @@ object Munge {
       }
       i += 1
     }
-    if (wordStart >= 0) appendHyphenated(s, wordStart, until, out)
+    if (wordStart >= 0) appendHyphenated(s, wordStart, until, out, esc)
   }
 
   private def appendRange(
-      s: String, from: Int, until: Int, out: StringBuilder): Unit = {
+      s: String, from: Int, until: Int, out: StringBuilder, esc: Boolean): Unit = {
     // bulk java append — the (s, from, until) overload on the SCALA
     // StringBuilder auto-tuples (appends "(s,from,until)" literally)
-    out.underlying.append(s, from, until)
+    if (esc) Dom.escapeTextRange(s, from, until, out)
+    else out.underlying.append(s, from, until)
   }
 
   private def appendHyphenated(
-      s: String, from: Int, until: Int, out: StringBuilder): Unit = {
-    if (until - from <= 4) appendRange(s, from, until, out) // ≤4 never splits
-    else Hyphenate.appendHyphenatedShy(s, from, until, out)
+      s: String, from: Int, until: Int, out: StringBuilder, esc: Boolean): Unit = {
+    if (until - from <= 4) appendRange(s, from, until, out, esc) // ≤4 never splits
+    else Hyphenate.appendHyphenatedShy(s, from, until, out, esc)
   }
 
   /** clean.py:270-272 (M12) */
@@ -374,6 +385,6 @@ object Munge {
     case el: Elem => serializeHyphElem(el, sb, inPre)
     case t: Text =>
       if (inPre) t.serialize(sb) // hyphenate pass skips pre-descendants
-      else Dom.escapeText(hyphenateRun(t.data), sb)
+      else hyphenateRunTo(t.data, sb, esc = true)
   }
 }
