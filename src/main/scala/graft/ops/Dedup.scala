@@ -29,6 +29,28 @@ object Dedup {
   val Bands = 16
   val RowsPerBand = 4 // 16 bands × 4 rows = 64 hashes; th ≈ (1/16)^(1/4) ≈ 0.5
 
+  /** MinHash family — DuckDB-expressible (VERDICT r03 task 2: r02's
+    * xxhash64 family had no DuckDB mirror, demoting t6 to rows-only).
+    * base(s) = 31-bit slice of md5(s); h_i = (a_i·base + b_i) mod p with
+    * p = 2³¹−1 (prime) and 31-bit constants — every product < 2⁶², so the
+    * arithmetic is overflow-free under ANSI mode in BOTH engines, and
+    * md5/substr/conv have exact DuckDB equivalents. The constants derive
+    * from a fixed splitmix64 chain and are inlined into both the Spark
+    * plan (literals) and the oracle SQL (VALUES list) from the same
+    * arrays.
+    */
+  val MinhashP = 2147483647L
+  private def splitmix(seed: Long): Long = {
+    var z = seed + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+  val MinhashA: Array[Long] =
+    Array.tabulate(NumHashes)(i => (splitmix(2L * i + 1) & 0x7FFFFFFFL) % (MinhashP - 1) + 1)
+  val MinhashB: Array[Long] =
+    Array.tabulate(NumHashes)(i => (splitmix(2L * i + 2) & 0x7FFFFFFFL) % MinhashP)
+
   def docs(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
 
@@ -57,10 +79,10 @@ object Dedup {
           .stripMargin.replace("\n", " "))
 
   /** 64-hash MinHash signature per document. The shingle string is hashed
-    * ONCE to a 64-bit base (the expensive part), and the hash family is
-    * derived by re-hashing the base long with the function index:
-    * h_i(s) = xxhash64(i, xxhash64(s)) — 64 long-hashes instead of 64
-    * string-hashes per shingle.
+    * ONCE to a 31-bit base (the expensive md5 — native codegen'd), and
+    * the family is 64 affine rehashes of the base: h_i = (a_i·base + b_i)
+    * mod p — 64 long-multiplies instead of 64 string-hashes per shingle,
+    * and exactly mirrorable in DuckDB (see MinhashA scaladoc).
     */
   def minhashSignatures(df: DataFrame): DataFrame =
     minhashSignaturesOnShingles(shingles(df))
@@ -72,9 +94,12 @@ object Dedup {
     */
   def minhashSignaturesOnShingles(sh: DataFrame): DataFrame = {
     val aggs: Seq[Column] = (0 until NumHashes).map { i =>
-      min(xxhash64(lit(i), col("hs"))).as(s"h$i")
+      min(pmod(lit(MinhashA(i)) * col("base") + lit(MinhashB(i)),
+        lit(MinhashP))).as(s"h$i")
     }
-    sh.withColumn("hs", xxhash64(col("shingle")))
+    sh.withColumn("base",
+        conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long")
+          .bitwiseAND(lit(0x7FFFFFFFL)))
       .groupBy(col("doc_id"))
       .agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"),
@@ -90,11 +115,16 @@ object Dedup {
 
   def minhashLshOnShingles(sh: DataFrame, th: Double): DataFrame = {
     val sig = minhashSignaturesOnShingles(sh)
+    // Band key = the 4 band values verbatim (comma-joined) rather than a
+    // hash of them: byte-exact in the DuckDB mirror, and collision-free.
+    // At 100 TB you'd re-hash this ~44-byte key to a long before the
+    // shuffle (a band-hash collision is harmless — est_jaccard verifies);
+    // here exactness wins because the oracle must reproduce candidates.
     val banded = sig.selectExpr(
       "doc_id", "sig",
       s"""posexplode(transform(sequence(0, ${Bands - 1}),
-         | b -> aggregate(slice(sig, b * $RowsPerBand + 1, $RowsPerBand),
-         |                CAST(17 AS BIGINT), (a, x) -> xxhash64(a, x))))"""
+         | b -> concat_ws(',', transform(slice(sig, b * $RowsPerBand + 1, $RowsPerBand),
+         |                               v -> cast(v AS string)))))"""
         .stripMargin.replace("\n", " "))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_hash")
@@ -111,47 +141,66 @@ object Dedup {
       .filter(col("est_jaccard") >= th)
   }
 
-  /** SimHash 64-bit signature — genuinely imperative bit loop, so it runs
-    * as a typed map (the one place mapPartitions-style code is warranted,
-    * per-row, narrow, no shuffle).
+  /** 60-bit token hash matching `('0x' || substr(md5(t), 1, 15))::BIGINT`
+    * in DuckDB: the first 15 hex chars of the md5 digest are bytes 0..6
+    * plus the HIGH nibble of byte 7 (VERDICT r03 task 2 follow-on — the
+    * r02 murmur3 family had no DuckDB mirror, demoting t7 to rows-only).
     */
-  def simhash64(tokens: Iterator[String]): Long = {
-    val acc = new Array[Int](64)
-    while (tokens.hasNext) {
-      val t = tokens.next()
-      val h1 = scala.util.hashing.MurmurHash3.stringHash(t, 0x9747b28c)
-      val h2 = scala.util.hashing.MurmurHash3.stringHash(t, 0x85ebca6b)
-      val h = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
-      var i = 0
-      while (i < 64) {
-        if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1
-        i += 1
-      }
-    }
-    var out = 0L
+  def md5Hash60(digest: java.security.MessageDigest, token: String): Long = {
+    digest.reset()
+    val d = digest.digest(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
     var i = 0
-    while (i < 64) { if (acc(i) > 0) out |= (1L << i); i += 1 }
-    out
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xffL) >>> 4)
   }
 
+  /** SimHash 60-bit signature — genuinely imperative bit loop, so it runs
+    * as a typed mapPartitions (per-row, narrow, no shuffle; one
+    * MessageDigest per partition). Duplicate tokens vote repeatedly, as
+    * in the classic formulation. Zero-token documents are excluded: they
+    * carry no signal, and the all-zero signature would otherwise pair
+    * every empty doc with every doc whose low chunk happens to be 0.
+    */
   def simhashes(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     docs(spark, sfDir)
       .select("doc_id", "text")
       .as[(Long, String)]
-      .map { case (id, text) =>
-        (id, simhash64(text.split("\\s+").iterator.filter(_.nonEmpty)))
+      .mapPartitions { it =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          val acc = new Array[Int](60)
+          var n = 0
+          val iter = text.split("\\s+").iterator.filter(_.nonEmpty)
+          while (iter.hasNext) {
+            val h = md5Hash60(digest, iter.next())
+            n += 1
+            var b = 0
+            while (b < 60) {
+              if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+              b += 1
+            }
+          }
+          if (n == 0) None
+          else {
+            var out = 0L
+            var b = 0
+            while (b < 60) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+            Some((id, out))
+          }
+        }
       }
       .toDF("doc_id", "simhash")
   }
 
-  /** SimHash near-dup: pigeonhole band join (4 × 16-bit chunks ⇒ any pair
+  /** SimHash near-dup: pigeonhole band join (4 × 15-bit chunks ⇒ any pair
     * within hamming ≤ 3 shares ≥ 1 chunk), then exact hamming filter.
     */
   def simhashDedup(spark: SparkSession, sfDir: String, maxHamming: Int = 3): DataFrame = {
     val sh = simhashes(spark, sfDir)
     val chunked = sh.selectExpr("doc_id", "simhash",
-      "posexplode(transform(sequence(0, 3), c -> (simhash >> (c * 16)) & 65535))")
+      "posexplode(transform(sequence(0, 3), c -> (simhash >> (c * 15)) & 32767))")
       .withColumnRenamed("pos", "chunk_idx")
       .withColumnRenamed("col", "chunk_val")
     val a = chunked.select(col("chunk_idx"), col("chunk_val"),
@@ -167,15 +216,33 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
   }
 
+  /** Hot-shingle cap for the standalone Jaccard self-join (VERDICT r03
+    * task 3): a stop-shingle ("of the and") present in k documents makes
+    * a k² join group — at 100 TB one hot shingle is a straggler/OOM task.
+    * Shingles with document frequency > maxDf are dropped from the
+    * WHOLE shingle space (join AND size denominators), i.e. Jaccard is
+    * computed over the discriminative shingles only — the standard df-cap
+    * used by production dedup pipelines, which also tightens precision
+    * (ubiquitous shingles carry no similarity signal). The hot set is
+    * tiny by construction (df > maxDf) so the anti-join broadcasts.
+    */
+  val DefaultMaxShingleDf = 1000
+
   /** Exact n-gram Jaccard via the shared-shingle join. */
-  def ngramJaccard(spark: SparkSession, sfDir: String, th: Double = 0.05): DataFrame =
-    ngramJaccardOn(docs(spark, sfDir), th)
+  def ngramJaccard(spark: SparkSession, sfDir: String, th: Double = 0.05,
+      maxDf: Int = DefaultMaxShingleDf): DataFrame =
+    ngramJaccardOn(docs(spark, sfDir), th, maxDf)
 
-  def ngramJaccardOn(docsDf: DataFrame, th: Double): DataFrame =
-    ngramJaccardOnShingles(shingles(docsDf), th)
+  def ngramJaccardOn(docsDf: DataFrame, th: Double,
+      maxDf: Int = DefaultMaxShingleDf): DataFrame =
+    ngramJaccardOnShingles(shingles(docsDf), th, maxDf)
 
-  def ngramJaccardOnShingles(sh: DataFrame, th: Double): DataFrame = {
-    val s = sh.dropDuplicates("doc_id", "shingle")
+  def ngramJaccardOnShingles(sh: DataFrame, th: Double,
+      maxDf: Int = DefaultMaxShingleDf): DataFrame = {
+    val s0 = sh.dropDuplicates("doc_id", "shingle")
+    val hot = s0.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("shingle")
+    val s = s0.join(broadcast(hot), Seq("shingle"), "left_anti")
     val sizes = s.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val common = s.select(col("doc_id").as("id_a"), col("shingle"))
       .join(s.select(col("doc_id").as("id_b"), col("shingle")), Seq("shingle"))
@@ -338,22 +405,89 @@ object Dedup {
     "t13_dedup_pipeline" -> ((s, d) => dedupPipeline(s, d))
   )
 
+  /** Shared DuckDB CTE prefix: tokens → distinct (doc_id, shingle). */
+  private val ShingleCtes =
+    """toks AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS tk
+      |  FROM documents),
+      |sh0 AS (
+      |  SELECT DISTINCT doc_id, shingle FROM (
+      |    SELECT doc_id, unnest(CASE WHEN len(tk) >= 3
+      |      THEN list_transform(range(1, len(tk) - 1),
+      |           i -> concat(tk[i], ' ', tk[i + 1], ' ', tk[i + 2]))
+      |      ELSE [array_to_string(tk, ' ')] END) AS shingle
+      |    FROM toks))""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "t1_exact_dedup" ->
       """SELECT sha256(text) AS h, CAST(count(*) AS BIGINT) AS n, min(doc_id) AS keep_id
         |FROM documents GROUP BY sha256(text)""".stripMargin,
-    // exact n-gram Jaccard is SQL-expressible → strong oracle for a dedup op
-    "t8_ngram_jaccard" ->
+    // Full MinHash+LSH mirror (VERDICT r03 task 2): same md5-slice base,
+    // same affine family (constants inlined from MinhashA/MinhashB), same
+    // banding and estimate — byte-equal candidates and est_jaccard.
+    "t6_minhash_lsh" -> {
+      val consts = (0 until NumHashes)
+        .map(i => s"($i, ${MinhashA(i)}, ${MinhashB(i)})").mkString(", ")
+      s"""WITH $ShingleCtes,
+         |bases AS (
+         |  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT & 2147483647 AS base
+         |  FROM sh0),
+         |consts(i, a, b) AS (VALUES $consts),
+         |mh AS (
+         |  SELECT bases.doc_id, consts.i,
+         |         min((consts.a * bases.base + consts.b) % 2147483647) AS h
+         |  FROM bases CROSS JOIN consts GROUP BY bases.doc_id, consts.i),
+         |sigs AS (SELECT doc_id, list(h ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, sig, bb.b AS b,
+         |         concat_ws(',', sig[bb.b * 4 + 1], sig[bb.b * 4 + 2],
+         |                        sig[bb.b * 4 + 3], sig[bb.b * 4 + 4]) AS bk
+         |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 16)) AS b) bb),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+         |         x.sig AS sig_a, y.sig AS sig_b
+         |  FROM bands x JOIN bands y
+         |    ON x.b = y.b AND x.bk = y.bk AND x.doc_id < y.doc_id)
+         |SELECT id_a, id_b,
+         |       round(CAST(len(list_filter(range(1, 65), j -> sig_a[j] = sig_b[j])) AS DOUBLE) / 64, 4) AS est_jaccard
+         |FROM cand
+         |WHERE round(CAST(len(list_filter(range(1, 65), j -> sig_a[j] = sig_b[j])) AS DOUBLE) / 64, 4) >= 0.5""".stripMargin
+    },
+    // Full SimHash mirror: 60-bit md5-slice token hash (dup tokens vote),
+    // 4×15-bit pigeonhole chunks, exact hamming ≤ 3.
+    "t7_simhash_dedup" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS tk
         |  FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, shingle FROM (
-        |    SELECT doc_id, unnest(CASE WHEN len(tk) >= 3
-        |      THEN list_transform(range(1, len(tk) - 1),
-        |           i -> concat(tk[i], ' ', tk[i + 1], ' ', tk[i + 2]))
-        |      ELSE [array_to_string(tk, ' ')] END) AS shingle
-        |    FROM toks)),
+        |tok AS (SELECT doc_id, unnest(tk) AS t FROM toks),
+        |th AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
+        |bits AS (
+        |  SELECT doc_id, bb.b,
+        |         CASE WHEN CAST(sum(CASE WHEN ((h >> bb.b) & 1) = 1 THEN 1 ELSE -1 END) AS BIGINT) > 0
+        |              THEN (CAST(1 AS BIGINT) << bb.b) ELSE 0 END AS bv
+        |  FROM th CROSS JOIN (SELECT unnest(range(0, 60)) AS b) bb
+        |  GROUP BY doc_id, bb.b),
+        |sh AS (SELECT doc_id, CAST(sum(bv) AS BIGINT) AS simhash FROM bits GROUP BY doc_id),
+        |chunks AS (
+        |  SELECT doc_id, simhash, cc.c AS chunk_idx,
+        |         (simhash >> (cc.c * 15)) & 32767 AS chunk_val
+        |  FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS c) cc),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+        |         x.simhash AS sh_a, y.simhash AS sh_b
+        |  FROM chunks x JOIN chunks y
+        |    ON x.chunk_idx = y.chunk_idx AND x.chunk_val = y.chunk_val
+        |   AND x.doc_id < y.doc_id)
+        |SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3""".stripMargin,
+    // exact n-gram Jaccard is SQL-expressible → strong oracle for a dedup
+    // op; mirrors the df > 1000 hot-shingle cap (VERDICT r03 task 3 — a
+    // no-op at sf0.01 where max df ≪ 1000, but textually load-bearing so
+    // a cap change desyncs the oracle loudly)
+    "t8_ngram_jaccard" ->
+      s"""WITH $ShingleCtes,
+        |hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > $DefaultMaxShingleDf),
+        |sh AS (SELECT doc_id, shingle FROM sh0 ANTI JOIN hot USING (shingle)),
         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
         |common AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS common

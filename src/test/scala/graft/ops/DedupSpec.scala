@@ -81,6 +81,28 @@ class DedupSpec extends SparkSpec {
     assert(!rows.keySet.exists { case (a, b) => b == 3L || a == 3L })
   }
 
+  test("n-gram jaccard df cap bounds hot-shingle join groups (VERDICT r03 task 3)") {
+    // 30 docs that share ONLY the stop-shingle "of the and": uncapped, the
+    // self-join meets on it and emits all C(30,2)=435 pairs (a k² group —
+    // the 100 TB straggler shape); with the df cap the hot shingle is
+    // dropped from the shingle space and no pair survives.
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-hotshingle").toString
+    val docs = (0 until 30)
+      .map(i => (i.toLong, s"of the and u${i}a u${i}b u${i}c u${i}d", "en", s"s$i", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.parquet(s"$dir/documents.parquet")
+    val uncapped = Dedup.ngramJaccard(spark, dir, th = 0.05, maxDf = 1000).count()
+    assert(uncapped == 435L, s"expected the full k² flood without a cap, got $uncapped")
+    val capped = Dedup.ngramJaccard(spark, dir, th = 0.05, maxDf = 10)
+    assert(capped.count() == 0L, "df cap should remove the only shared shingle")
+    // the hot-list anti-join must broadcast (tiny by construction)
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"hot-shingle filter should be a broadcast anti-join:\n$plan")
+  }
+
   test("embedding cosine near-dup ranks the planted near-identical pairs first") {
     val all = Dedup.embeddingCosine(spark, plantedDir, topPairs = 100)
       .collect()
