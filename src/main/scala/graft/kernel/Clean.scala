@@ -105,33 +105,27 @@ object Clean {
     FLAGS)
 
   /** Decode the html payload: meta-charset regex (clean.py:76) over an
-    * ISO-8859-1 preview; without a declared charset, a DETERMINISTIC
-    * discriminator stands in for the reference's chardet sniff (r03,
-    * VERDICT task 8): if the bytes are strictly valid UTF-8 decode as
-    * UTF-8, otherwise decode as windows-1252 — UTF-8 multibyte sequences
-    * are self-validating (random Latin-1 text is valid UTF-8 with
-    * probability ~0 per non-ASCII byte pair), and cp1252 is chardet's own
-    * answer for the overwhelmingly common non-UTF-8 western case (it is a
-    * superset of ISO-8859-1 on all printable bytes). Remaining deviation
-    * from chardet: multi-byte east-asian encodings without a meta tag
-    * still decode as cp1252 (documented, SURVEY.md §0.1). Undecodable
-    * bytes → U+FFFD.
+    * ISO-8859-1 preview FIRST — the reference consults the declaration
+    * before any sniffing, so a page whose body merely begins with
+    * BOM-looking bytes still honors its declared charset (ADVICE r03:
+    * the r03 ordering took the BOM path first, silently decoding such
+    * pages as UTF-16; a genuine UTF-16 page can never match the
+    * NUL-interleaved meta sniff, so meta-first loses nothing).
+    *
+    * Without a declaration, a DETERMINISTIC cascade stands in for the
+    * reference's chardet sniff:
+    *   1. UTF-16 BOM → UTF-16 (BOM-driven endianness);
+    *   2. strictly valid UTF-8 → UTF-8 (multibyte sequences are
+    *      self-validating; random Latin-1 is valid UTF-8 with
+    *      probability ~0 per non-ASCII byte pair);
+    *   3. east-asian byte-pattern discrimination (VERDICT r03 task 5) —
+    *      see `detectEastAsian`;
+    *   4. otherwise windows-1252 (chardet's own answer for the common
+    *      non-UTF-8 western case; superset of ISO-8859-1 on printable
+    *      bytes).
+    * Undecodable bytes → U+FFFD.
     */
   def decodeHtml(bytes: Array[Byte]): String = {
-    // UTF-16 BOMs first: the meta sniff can't see "charset" through the
-    // interleaved NULs and UTF-16 bytes are never valid UTF-8, so without
-    // this branch such pages decoded as cp1252 soup. (A UTF-8 BOM stays on
-    // the UTF-8 path with U+FEFF retained — frozen by golden `enc_bom`.)
-    if (bytes.length >= 2) {
-      val b0 = bytes(0) & 0xff
-      val b1 = bytes(1) & 0xff
-      if ((b0 == 0xff && b1 == 0xfe) || (b0 == 0xfe && b1 == 0xff)) {
-        val dec16 = StandardCharsets.UTF_16.newDecoder() // BOM-driven LE/BE
-          .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
-          .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
-        return dec16.decode(java.nio.ByteBuffer.wrap(bytes)).toString
-      }
-    }
     val preview = new String(bytes, StandardCharsets.ISO_8859_1)
     val m = ReMetaCharset.matcher(preview)
     val declared: Option[Charset] =
@@ -140,8 +134,9 @@ object Clean {
         catch { case _: Exception => Some(StandardCharsets.UTF_8) }
       } else None
     val cs: Charset = declared.getOrElse {
-      if (isValidUtf8(bytes)) StandardCharsets.UTF_8
-      else Charset.forName("windows-1252")
+      if (hasUtf16Bom(bytes)) StandardCharsets.UTF_16 // BOM-driven LE/BE
+      else if (isValidUtf8(bytes)) StandardCharsets.UTF_8
+      else detectEastAsian(bytes).getOrElse(Charset.forName("windows-1252"))
     }
     val dec = cs.newDecoder()
       .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
@@ -149,10 +144,124 @@ object Clean {
     dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
   }
 
+  private def hasUtf16Bom(bytes: Array[Byte]): Boolean =
+    bytes.length >= 2 && {
+      val b0 = bytes(0) & 0xff
+      val b1 = bytes(1) & 0xff
+      (b0 == 0xff && b1 == 0xfe) || (b0 == 0xfe && b1 == 0xff)
+    }
+
   private def isValidUtf8(bytes: Array[Byte]): Boolean = {
     val dec = StandardCharsets.UTF_8.newDecoder() // REPORT by default
     try { dec.decode(java.nio.ByteBuffer.wrap(bytes)); true }
     catch { case _: java.nio.charset.CharacterCodingException => false }
+  }
+
+  // ----------------------- east-asian discrimination (no-meta, non-UTF-8)
+
+  /** Minimum multi-byte units before an east-asian verdict — below this
+    * the evidence is indistinguishable from stray cp1252 punctuation.
+    */
+  val MinEastAsianUnits = 4
+
+  /** Deterministic Shift-JIS / EUC-KR / GBK discrimination for no-meta,
+    * non-UTF-8 pages (VERDICT r03 task 5 — the reference reaches for
+    * chardet's statistical models here, clean.py:137-138; this is a
+    * documented, reproducible byte-pattern cascade, not a chardet port):
+    *
+    *  1. Shift-JIS when the stream walks cleanly under the SJIS state
+    *     machine, does NOT walk as an EUC-family stream, and contains ≥1
+    *     pair with lead 0x81-0x9F — the hiragana/katakana/punctuation
+    *     rows ubiquitous in real Japanese text and structurally invalid
+    *     as EUC leads.
+    *  2. EUC-KR when every multi-byte pair is lead 0xA1-0xFE +
+    *     trail 0xA1-0xFE AND ≥90% of pair leads sit in the Hangul
+    *     syllable rows 0xB0-0xC8. Korean text is ~100% Hangul rows;
+    *     Chinese GB2312 text spreads leads across 0xB0-0xF7 (frequent
+    *     hanzi cluster in the pinyin-ordered level-1 area but never at
+    *     ~100% in the 0xB0-0xC8 slice), so 0.9 separates them.
+    *  3. GBK when the stream walks under the GBK state machine
+    *     (lead 0x81-0xFE, trail 0x40-0xFE except 0x7F).
+    *  4. Otherwise None → the cp1252 fallback.
+    *
+    * Known limits (documented deviation, SURVEY.md §0.1): EUC-JP and
+    * Big5 are out of scope and will land on EUC-KR/GBK or cp1252;
+    * pathological SJIS text avoiding the 0x81-0x9F rows falls through.
+    * Each verdict additionally needs MinEastAsianUnits multi-byte units.
+    */
+  def detectEastAsian(bytes: Array[Byte]): Option[Charset] = {
+    val sjis = sjisUnits(bytes)
+    val euc = eucPairs(bytes)
+    if (sjis._1 >= MinEastAsianUnits && sjis._2 >= 1 && euc == null)
+      return Some(Charset.forName("Shift_JIS"))
+    if (euc != null && euc._1 >= MinEastAsianUnits &&
+        euc._2 * 10 >= euc._1 * 9)
+      return Some(Charset.forName("EUC-KR"))
+    val gbk = gbkPairs(bytes)
+    if (gbk >= MinEastAsianUnits) return Some(Charset.forName("GBK"))
+    None
+  }
+
+  /** (units, leadRow81to9F) if the stream walks under Shift-JIS —
+    * singles 0x00-0x7F, lone kana 0xA1-0xDF, pairs lead 0x81-0x9F /
+    * 0xE0-0xFC + trail 0x40-0x7E / 0x80-0xFC; (-1, 0) otherwise.
+    */
+  private def sjisUnits(bytes: Array[Byte]): (Int, Int) = {
+    var i = 0; var units = 0; var distinct = 0
+    while (i < bytes.length) {
+      val c = bytes(i) & 0xff
+      if (c <= 0x7f) i += 1
+      else if (c >= 0xa1 && c <= 0xdf) { units += 1; i += 1 } // half-width kana
+      else if ((c >= 0x81 && c <= 0x9f) || (c >= 0xe0 && c <= 0xfc)) {
+        if (i + 1 >= bytes.length) return (-1, 0)
+        val t = bytes(i + 1) & 0xff
+        if ((t >= 0x40 && t <= 0x7e) || (t >= 0x80 && t <= 0xfc)) {
+          units += 1
+          if (c <= 0x9f) distinct += 1
+          i += 2
+        } else return (-1, 0)
+      } else return (-1, 0)
+    }
+    (units, distinct)
+  }
+
+  /** (pairs, hangulRowPairs) if every non-ASCII byte forms an EUC pair
+    * (lead and trail both 0xA1-0xFE); null otherwise.
+    */
+  private def eucPairs(bytes: Array[Byte]): (Int, Int) = {
+    var i = 0; var pairs = 0; var hangul = 0
+    while (i < bytes.length) {
+      val c = bytes(i) & 0xff
+      if (c <= 0x7f) i += 1
+      else if (c >= 0xa1 && c <= 0xfe) {
+        if (i + 1 >= bytes.length) return null
+        val t = bytes(i + 1) & 0xff
+        if (t >= 0xa1 && t <= 0xfe) {
+          pairs += 1
+          if (c >= 0xb0 && c <= 0xc8) hangul += 1
+          i += 2
+        } else return null
+      } else return null
+    }
+    (pairs, hangul)
+  }
+
+  /** Pair count if the stream walks under GBK (lead 0x81-0xFE, trail
+    * 0x40-0xFE except 0x7F); -1 otherwise.
+    */
+  private def gbkPairs(bytes: Array[Byte]): Int = {
+    var i = 0; var pairs = 0
+    while (i < bytes.length) {
+      val c = bytes(i) & 0xff
+      if (c <= 0x7f) i += 1
+      else if (c >= 0x81 && c <= 0xfe) {
+        if (i + 1 >= bytes.length) return -1
+        val t = bytes(i + 1) & 0xff
+        if (t >= 0x40 && t <= 0xfe && t != 0x7f) { pairs += 1; i += 2 }
+        else return -1
+      } else return -1
+    }
+    pairs
   }
 
   // ------------------------------------------------------------- pipeline

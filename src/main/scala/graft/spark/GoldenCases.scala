@@ -392,7 +392,29 @@ object GoldenCases {
       ("﻿<html><head><title>fixture</title></head><body>" +
         s"""<div class="storyblock"><p>café zw1 $WinText</p><p>$WinText</p></div>""" +
         "</body></html>").getBytes("UTF-16BE"),
-      mustContain = Seq("café", "zw1"))
+      mustContain = Seq("café", "zw1")),
+    // NO meta + Shift-JIS bytes (hiragana/katakana rows 0x82/0x83 — the
+    // SJIS-distinctive leads): the r04 east-asian cascade decodes SJIS
+    // where r03 produced cp1252 mojibake (VERDICT r03 task 5)
+    GCase("enc_sjis_nometa", "http://fixtures.test/enc/sjisnometa",
+      ("<html><head><title>fixture</title></head><body>" +
+        s"""<div class="storyblock"><p>これは日本語のテストです記事本文 zw1 $WinText</p><p>$WinText</p></div>""" +
+        "</body></html>").getBytes("Shift_JIS"),
+      mustContain = Seq("日本語のテスト", "zw1")),
+    // NO meta + GBK bytes: walks EUC with Hangul-row ratio well under
+    // 0.9 → lands on the GBK branch, not EUC-KR
+    GCase("enc_gbk_nometa", "http://fixtures.test/enc/gbknometa",
+      ("<html><head><title>fixture</title></head><body>" +
+        s"""<div class="storyblock"><p>中文测试文本内容这是一个测试页面 zw1 $WinText</p><p>$WinText</p></div>""" +
+        "</body></html>").getBytes("GBK"),
+      mustContain = Seq("中文测试", "zw1")),
+    // NO meta + EUC-KR bytes: every pair lead sits in the Hangul rows
+    // 0xB0-0xC8 (ratio 1.0 ≥ 0.9) → EUC-KR wins over the GBK superset
+    GCase("enc_euckr_nometa", "http://fixtures.test/enc/euckrnometa",
+      ("<html><head><title>fixture</title></head><body>" +
+        s"""<div class="storyblock"><p>한국어 시험 문서입니다 가나다라 마바사 zw1 $WinText</p><p>$WinText</p></div>""" +
+        "</body></html>").getBytes("EUC-KR"),
+      mustContain = Seq("한국어", "zw1"))
   )
 
   // ---------------------------------------------------------- degenerate/

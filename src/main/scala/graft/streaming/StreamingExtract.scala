@@ -95,6 +95,55 @@ object StreamingExtract {
       .dropDuplicatesWithinWatermark("entry_key")
   }
 
+  /** One entry arriving on the stream for top-K retention: `sort_key`
+    * is the recency key (ISO date string — lexicographic = chronological),
+    * matching batch D3's ORDER BY o_orderdate DESC, o_orderkey DESC.
+    */
+  final case class EntryEvent(group_key: Long, entry_id: Long, sort_key: String)
+
+  /** One retained entry after a micro-batch touched its group. `version`
+    * increments per group per invocation, so "the group's final state" =
+    * its max-version rows — the contract a changelog sink compacts on.
+    */
+  final case class RetainedRow(group_key: Long, entry_id: Long, rn: Int, version: Long)
+
+  final case class TopKState(version: Long, entries: List[(String, Long)])
+
+  /** Streaming stateful top-K retention with eviction (VERDICT r03 task
+    * 4) — the §2.10 analogue of batch D3/D4 (models.py:25,39-48: keep the
+    * newest 50 entries per feed, delete the rest). State per group is the
+    * current top-k list and NOTHING else: merging new events then
+    * trimming to k is a correct streaming summary because top-k is
+    * monotone — the true top-k of the whole stream equals the top-k of
+    * (top-k of any prefix) ∪ suffix, so an evicted entry can never
+    * re-enter. At 10^12 rows the state store holds ≤ k·groups entries,
+    * the same bound the reference's per-feed delete loop maintains.
+    *
+    * Emits the group's full retained set (Update semantics) each time a
+    * micro-batch touches the group; rows beyond k silently leave the
+    * state — the D4 delete set is the version-over-version difference.
+    */
+  def topKRetention(entries: Dataset[EntryEvent], k: Int = 50): Dataset[RetainedRow] = {
+    val spark = entries.sparkSession
+    import spark.implicits._
+    val ord: Ordering[(String, Long)] =
+      Ordering.Tuple2(Ordering.String.reverse, Ordering.Long.reverse)
+    entries
+      .groupByKey(_.group_key)
+      .flatMapGroupsWithState[TopKState, RetainedRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, evs: Iterator[EntryEvent], state: GroupState[TopKState]) =>
+          val prev = state.getOption.getOrElse(TopKState(0L, Nil))
+          val merged = (prev.entries ++ evs.map(e => (e.sort_key, e.entry_id)))
+            .distinct.sorted(ord).take(k)
+          val next = TopKState(prev.version + 1, merged)
+          state.update(next)
+          merged.iterator.zipWithIndex.map { case ((_, id), i) =>
+            RetainedRow(key, id, i + 1, next.version)
+          }
+      }
+  }
+
   /** One fetch outcome observed on the stream. */
   final case class FetchEvent(feed_url: String, fetch_time: Double, new_items: Int)
 

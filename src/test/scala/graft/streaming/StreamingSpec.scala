@@ -106,6 +106,46 @@ class StreamingSpec extends SparkSpec {
     assert(plan.toLowerCase.contains("sha2"), plan.take(800))
   }
 
+  test("streaming top-K retention: stream-end state equals batch d3 (VERDICT r03 task 4)") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val source = MemoryStream[StreamingExtract.EntryEvent]
+    val orders = graft.spark.Relational.table(spark, sf001, "orders")
+      .select("o_custkey", "o_orderkey", "o_orderdate")
+      .collect()
+      .map(r => StreamingExtract.EntryEvent(
+        r.get(0).asInstanceOf[Number].longValue,
+        r.get(1).asInstanceOf[Number].longValue,
+        r.get(2).toString))
+    val q = StreamingExtract.topKRetention(source.toDS(), k = 3)
+      .writeStream.format("memory").queryName("topk_out")
+      .outputMode("update").start()
+    // replay in 3 micro-batches so retention + eviction happen incrementally
+    orders.grouped(orders.length / 3 + 1).foreach { chunk =>
+      source.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val all = spark.table("topk_out").as[StreamingExtract.RetainedRow].collect()
+    // bounded state/emissions: never more than k rows per (group, version)
+    assert(all.groupBy(r => (r.group_key, r.version)).forall(_._2.length <= 3))
+    // eviction happened: some group was touched by >1 micro-batch
+    assert(all.exists(_.version > 1L))
+    val lastVersion = all.groupBy(_.group_key).map { case (g, rs) => g -> rs.map(_.version).max }
+    val finalRows = all
+      .filter(r => r.version == lastVersion(r.group_key))
+      .map(r => (r.group_key, r.entry_id, r.rn)).toSet
+    val batch = graft.spark.Relational.d3TopK(spark, sf001, k = 3)
+      .collect()
+      .map(r => (r.get(0).asInstanceOf[Number].longValue,
+        r.get(1).asInstanceOf[Number].longValue,
+        r.getAs[Int]("rn"))).toSet
+    assert(finalRows == batch,
+      s"stream-end retained set diverges from batch d3: " +
+        s"only-stream=${(finalRows -- batch).take(5)} only-batch=${(batch -- finalRows).take(5)}")
+  }
+
   test("pure transition clamps to [3600, 259200]") {
     var st = FeedState(0.0, 4000.0)
     st = StreamingExtract.step(Some(st), FetchEvent("f", 1.0, 3))
