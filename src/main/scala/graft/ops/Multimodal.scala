@@ -233,13 +233,18 @@ object Multimodal {
     var w = 0.0
     var h = 0.0
     var sawMoov = false
+    // inner walk() failures must reject the whole parse (ADVICE r03): a
+    // corrupt trak/tkhd box otherwise yielded silent partial metadata
+    // (width 0, undercounted tracks) instead of the stub path the way a
+    // corrupt top-level box does
+    var innerOk = true
     val ok = walk(0, n) { (typ, from, until) =>
       typ match {
         case "ftyp" if until - from >= 4 =>
           brand = new String(payload, from, 4, "US-ASCII")
         case "moov" =>
           sawMoov = true
-          walk(from, until) { (t2, f2, u2) =>
+          val moovOk = walk(from, until) { (t2, f2, u2) =>
             t2 match {
               case "mvhd" if u2 - f2 >= 4 =>
                 val version = payload(f2) & 0xff
@@ -254,25 +259,29 @@ object Multimodal {
                 }
               case "trak" =>
                 tracks += 1
-                walk(f2, u2) { (t3, f3, u3) =>
+                val trakOk = walk(f2, u2) { (t3, f3, u3) =>
                   if (t3 == "tkhd") {
                     val v = payload(f3) & 0xff
                     // width/height are the LAST 8 bytes (16.16 fixed point)
-                    // in both tkhd versions
-                    if (u3 - f3 >= (if (v == 1) 92 else 80)) {
+                    // in both tkhd versions; exact body sizes are 84 (v0)
+                    // and 96 (v1) — ADVICE r03 flagged the old 80/92
+                    // thresholds as smaller than the real bodies
+                    if (u3 - f3 >= (if (v == 1) 96 else 84)) {
                       val tw = be32(payload, u3 - 8) / 65536.0
                       val th = be32(payload, u3 - 4) / 65536.0
                       if (tw > 0 && th > 0) { w = math.max(w, tw); h = math.max(h, th) }
                     }
                   }
                 }
+                if (!trakOk) innerOk = false
               case _ =>
             }
           }
+          if (!moovOk) innerOk = false
         case _ =>
       }
     }
-    if (!ok || !sawMoov || duration < 0) None
+    if (!ok || !innerOk || !sawMoov || duration < 0) None
     else Some(Mp4Meta(brand, timescale, duration, tracks, w, h))
   }
 

@@ -92,6 +92,12 @@ object TextOps {
     * O(distinct×tokens) per row; for very long documents the scale path
     * is explode + per-(doc,token) count, but that costs a shuffle and
     * only wins past ~10^3 distinct tokens per doc.
+    *
+    * Empty-basis guard (ADVICE r03): a zero-token document must score
+    * 0.0 on every fraction, not 1.0/NULL (1 - 0/1 read as "maximally
+    * repetitive" would mis-rank empty docs in a Gopher-style filter);
+    * likewise a <2-token document has no bigrams and scores
+    * dup_bigram_frac 0.0. Both engines carry the same CASE guards.
     */
   def repetition(spark: SparkSession, sfDir: String): DataFrame =
     docs(spark, sfDir)
@@ -105,9 +111,9 @@ object TextOps {
         "doc_id",
         "CAST(size(toks) AS BIGINT) AS n_tokens",
         "CAST(size(array_distinct(toks)) AS BIGINT) AS n_distinct",
-        "round(1 - size(array_distinct(toks)) / greatest(size(toks), 1), 4) AS dup_word_frac",
-        "round(array_max(transform(array_distinct(toks), d -> size(filter(toks, x -> x = d)))) / greatest(size(toks), 1), 4) AS top_token_frac",
-        "round(1 - size(array_distinct(bigrams)) / greatest(size(bigrams), 1), 4) AS dup_bigram_frac")
+        "CASE WHEN size(toks) = 0 THEN 0.0D ELSE round(1 - size(array_distinct(toks)) / size(toks), 4) END AS dup_word_frac",
+        "CASE WHEN size(toks) = 0 THEN 0.0D ELSE round(array_max(transform(array_distinct(toks), d -> size(filter(toks, x -> x = d)))) / size(toks), 4) END AS top_token_frac",
+        "CASE WHEN size(bigrams) = 0 THEN 0.0D ELSE round(1 - size(array_distinct(bigrams)) / size(bigrams), 4) END AS dup_bigram_frac")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t2_token_count" -> ((s, d) => tokenCount(s, d)),
@@ -157,10 +163,10 @@ object TextOps {
            |SELECT doc_id,
            |       CAST(len(toks) AS BIGINT) AS n_tokens,
            |       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
-           |       round(1 - len(list_distinct(toks)) / greatest(len(toks), 1), 4) AS dup_word_frac,
-           |       round(list_max(list_transform(list_distinct(toks),
-           |             d -> len(list_filter(toks, x -> x = d)))) / greatest(len(toks), 1), 4) AS top_token_frac,
-           |       round(1 - len(list_distinct(bigrams)) / greatest(len(bigrams), 1), 4) AS dup_bigram_frac
+           |       CASE WHEN len(toks) = 0 THEN CAST(0.0 AS DOUBLE) ELSE round(1 - len(list_distinct(toks)) / len(toks), 4) END AS dup_word_frac,
+           |       CASE WHEN len(toks) = 0 THEN CAST(0.0 AS DOUBLE) ELSE round(list_max(list_transform(list_distinct(toks),
+           |             d -> len(list_filter(toks, x -> x = d)))) / len(toks), 4) END AS top_token_frac,
+           |       CASE WHEN len(bigrams) = 0 THEN CAST(0.0 AS DOUBLE) ELSE round(1 - len(list_distinct(bigrams)) / len(bigrams), 4) END AS dup_bigram_frac
            |FROM b""".stripMargin
     )
   }

@@ -245,6 +245,10 @@ object ExtractJob {
     * the pids it re-extracts — partition-granularity idempotent resume
     * (§7.4). `failAfterPids` deliberately stops after K buckets to simulate
     * a killed job (used by the resume test).
+    *
+    * On Iceberg this whole method maps to `overwritePartitions()` + an
+    * appended lineage table inside one transaction — see ICEBERG.md §2
+    * for the call-by-call mapping and what the transaction upgrade buys.
     */
   def runToDir(
       spark: SparkSession,

@@ -114,7 +114,8 @@ object Relational {
   /** D10 — first-seen upsert (main.py:63-66 + feed.py:151-159: unknown
     * feed → create + update; known feed → refresh). MERGE INTO semantics
     * expressed as a full outer join (Iceberg jars are absent in this
-    * sandbox; on Iceberg this is a literal MERGE INTO): target = customers
+    * sandbox; on Iceberg this is a literal MERGE INTO — the exact call
+    * mapping is ICEBERG.md §3): target = customers
     * of nations < 13, source = per-customer order rollup, so both the
     * update and the insert branch carry rows.
     */

@@ -127,6 +127,37 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.embeddingCosine(spark, plantedDir, topPairs = 3).count() == 3)
   }
 
+  test("t9 candidate recall: LSH∪IVF candidates cover brute-force top-k (ADVICE r03)") {
+    // Tripwire for candidate-generation regressions (the r02 redesign
+    // traded exact top-k for candidate-verified top-k): 100 random
+    // vectors + 20 planted near-identical twins. The brute-force top-20
+    // pairs are exactly the planted twins (cosine ≈ 1 vs ~0.4 for random
+    // 64-dim pairs), and EVERY one must appear in the LSH∪IVF candidate
+    // set. (On a purely random corpus the "top" pairs are weak and
+    // bucket-blind — asserting on those would pin noise, not recall.)
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-recall").toString
+    val rnd = new java.util.Random(42)
+    val base = (0 until 100).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val twins = (0 until 20).map(i =>
+      ((100 + i).toLong, base(i)._2.map(x => x + 0.02f * rnd.nextFloat())))
+    (base ++ twins).map { case (id, v) => (id, v.toSeq, 0) }
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val brute = Dedup.embeddingCosineBruteForce(spark, dir, topPairs = 20)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(brute.toSet == (0 until 20).map(i => (i.toLong, (100 + i).toLong)).toSet,
+      "planted twins should BE the brute-force top-20")
+    val cands = Dedup.embeddingCandidatePairs(spark, dir).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val missed = brute.filterNot(cands)
+    assert(missed.isEmpty,
+      s"candidate set misses ${missed.length}/20 planted top pairs: ${missed.take(5).toSeq}")
+  }
+
   test("t9 plan is candidate-verified — no cartesian product (VERDICT r02 task 4)") {
     val p = Dedup.embeddingCosine(spark, plantedDir, topPairs = 100)
       .queryExecution.executedPlan.toString
