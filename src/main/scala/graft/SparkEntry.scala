@@ -77,11 +77,23 @@ object SparkEntry {
   }
 
   /** DuckDB oracles for every SQL-expressible query above; kernel-backed
-    * (x*) and hash-seeded (t5/t6/t7/t9/t11/t12/t14) ops are rows-only.
+    * ops (x1/x2/x3) and the media decoder (t12) are rows-only — the only
+    * remaining ones (r04: t5/t6/t7/t13 gained static oracles and
+    * t9/t11/t14 full mirrors, the latter two via `oracleSqlDynamic`).
     */
   def oracleSql: Map[String, String] =
     graft.spark.Relational.oracles ++
       graft.ops.TextOps.oracles ++
       graft.ops.Dedup.oracles ++
       graft.ops.Similarity.oracles
+
+  /** Superset of `oracleSql` including the oracles that can only be
+    * authored with the corpus in hand (t14/t9 inline their trained IVF
+    * centroids — engine-derived constants; see
+    * Similarity.dynamicOracles). Verify dumps THIS map.
+    */
+  def oracleSqlDynamic(spark: SparkSession, sfDir: String): Map[String, String] =
+    oracleSql ++
+      graft.ops.Similarity.dynamicOracles(spark, sfDir) ++
+      graft.ops.Dedup.dynamicOracles(spark, sfDir)
 }

@@ -480,6 +480,82 @@ object Dedup {
         |   AND x.doc_id < y.doc_id)
         |SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
         |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3""".stripMargin,
+    // Full composite-pipeline mirror (r04): every stage of t13 is now
+    // DuckDB-expressible — sha256 exact dedup, the md5-affine MinHash
+    // candidates on survivors (est ≥ 0.5), df-capped Jaccard verification
+    // over candidate docs only (≥ 0.8), greedy min-id keeper — so the
+    // flagship pipeline gets rows+schema+hash instead of rows-only.
+    "t13_dedup_pipeline" -> {
+      val consts = (0 until NumHashes)
+        .map(i => s"($i, ${MinhashA(i)}, ${MinhashB(i)})").mkString(", ")
+      s"""WITH groups AS (
+         |  SELECT sha256(text) AS h, min(doc_id) AS keep_id
+         |  FROM documents GROUP BY sha256(text)),
+         |wk AS (
+         |  SELECT d.doc_id, d.text, g.keep_id
+         |  FROM documents d JOIN groups g ON sha256(d.text) = g.h),
+         |surv AS (SELECT doc_id, text FROM wk WHERE doc_id = keep_id),
+         |exact_removed AS (
+         |  SELECT doc_id, 'exact-dup' AS status, keep_id AS dup_of
+         |  FROM wk WHERE doc_id != keep_id),
+         |stoks AS (
+         |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS tk
+         |  FROM surv),
+         |ssh0 AS (
+         |  SELECT DISTINCT doc_id, shingle FROM (
+         |    SELECT doc_id, unnest(CASE WHEN len(tk) >= 3
+         |      THEN list_transform(range(1, len(tk) - 1),
+         |           i -> concat(tk[i], ' ', tk[i + 1], ' ', tk[i + 2]))
+         |      ELSE [array_to_string(tk, ' ')] END) AS shingle
+         |    FROM stoks)),
+         |bases AS (
+         |  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT & 2147483647 AS base
+         |  FROM ssh0),
+         |consts(i, a, b) AS (VALUES $consts),
+         |mh AS (
+         |  SELECT bases.doc_id, consts.i,
+         |         min((consts.a * bases.base + consts.b) % 2147483647) AS h
+         |  FROM bases CROSS JOIN consts GROUP BY bases.doc_id, consts.i),
+         |sigs AS (SELECT doc_id, list(h ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, sig, bb.b AS b,
+         |         concat_ws(',', sig[bb.b * 4 + 1], sig[bb.b * 4 + 2],
+         |                        sig[bb.b * 4 + 3], sig[bb.b * 4 + 4]) AS bk
+         |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 16)) AS b) bb),
+         |cand0 AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+         |         x.sig AS sig_a, y.sig AS sig_b
+         |  FROM bands x JOIN bands y
+         |    ON x.b = y.b AND x.bk = y.bk AND x.doc_id < y.doc_id),
+         |cand AS (
+         |  SELECT id_a, id_b FROM cand0
+         |  WHERE round(CAST(len(list_filter(range(1, 65), j -> sig_a[j] = sig_b[j])) AS DOUBLE) / 64, 4) >= 0.5),
+         |cd AS (SELECT id_a AS doc_id FROM cand UNION SELECT id_b AS doc_id FROM cand),
+         |csh0 AS (SELECT s.doc_id, s.shingle FROM ssh0 s JOIN cd USING (doc_id)),
+         |hot AS (SELECT shingle FROM csh0 GROUP BY shingle HAVING count(*) > $DefaultMaxShingleDf),
+         |csh AS (SELECT doc_id, shingle FROM csh0 ANTI JOIN hot USING (shingle)),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM csh GROUP BY doc_id),
+         |common AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS cnt
+         |  FROM csh a JOIN csh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |ver AS (
+         |  SELECT c.id_a, c.id_b
+         |  FROM common c
+         |  JOIN sizes sa ON sa.doc_id = c.id_a
+         |  JOIN sizes sb ON sb.doc_id = c.id_b
+         |  SEMI JOIN cand ON cand.id_a = c.id_a AND cand.id_b = c.id_b
+         |  WHERE round(c.cnt / (sa.sz + sb.sz - c.cnt), 4) >= 0.8),
+         |near AS (
+         |  SELECT greatest(id_a, id_b) AS doc_id, 'near-dup' AS status,
+         |         min(least(id_a, id_b)) AS dup_of
+         |  FROM ver GROUP BY greatest(id_a, id_b)),
+         |removed AS (
+         |  SELECT * FROM exact_removed UNION ALL SELECT * FROM near)
+         |SELECT d.doc_id, 'kept' AS status, CAST(NULL AS BIGINT) AS dup_of
+         |FROM documents d ANTI JOIN removed USING (doc_id)
+         |UNION ALL SELECT doc_id, status, dup_of FROM removed""".stripMargin
+    },
     // exact n-gram Jaccard is SQL-expressible → strong oracle for a dedup
     // op; mirrors the df > 1000 hot-shingle cap (VERDICT r03 task 3 — a
     // no-op at sf0.01 where max df ≪ 1000, but textually load-bearing so
@@ -499,4 +575,37 @@ object Dedup {
         |            JOIN sizes sb ON sb.doc_id = id_b
         |WHERE round(common / (sa.sz + sb.sz - common), 4) >= 0.05""".stripMargin
   )
+
+  /** Dynamic t9 oracle (r04) — authored at Verify-dump time because the
+    * IVF half of the candidate generator probes LEARNED centroids (see
+    * Similarity.dynamicOracles): the LSH∪IVF candidate keys, exact
+    * cosine, and top-100 ranking are all verified in DuckDB with the
+    * trained centroids inlined as constants.
+    */
+  def dynamicOracles(spark: SparkSession, sfDir: String): Map[String, String] = {
+    val cents = Similarity.ivfCentroids(spark, sfDir)
+    Map(
+      "t9_embed_cosine_dups" ->
+        s"""WITH ${Similarity.ivfAssignCtes(cents)},
+           |lsh AS (SELECT vec_id, ${Similarity.lshBucketSqlExpr("v")} AS bucket FROM n),
+           |keys AS (
+           |  SELECT vec_id, concat('L', CAST(bucket AS VARCHAR)) AS k FROM lsh
+           |  UNION ALL
+           |  SELECT vec_id, concat('C', CAST(ci AS VARCHAR)) AS k
+           |  FROM assigned WHERE rnk <= 2),
+           |cand AS (
+           |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           |  FROM keys a JOIN keys b ON a.k = b.k AND a.vec_id < b.vec_id),
+           |pairs AS (
+           |  SELECT id_a, id_b,
+           |         round(list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm), 4) AS cosine
+           |  FROM cand JOIN n na ON na.vec_id = cand.id_a
+           |            JOIN n nb ON nb.vec_id = cand.id_b),
+           |top AS (
+           |  SELECT id_a, id_b, cosine,
+           |         row_number() OVER (ORDER BY cosine DESC, id_a, id_b) AS rank
+           |  FROM pairs)
+           |SELECT id_a, id_b, cosine, rank
+           |FROM top WHERE rank <= 100""".stripMargin)
+  }
 }

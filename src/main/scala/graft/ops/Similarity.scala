@@ -212,11 +212,17 @@ object Similarity {
     "t16_quantize_int8" -> ((s, d) => quantizeInt8(s, d))
   )
 
-  /** Full DuckDB oracle for the brute-force kNN baseline: both engines
-    * widen float→double EXACTLY, accumulate the dot in double, and rank by
-    * (round-4 cosine DESC, neighbor_id) — validated bit-identical on the
-    * sf0.01 table (100/100 rows).  The LSH/IVF variants stay rows-only:
-    * their bucketing is hash/centroid-seeded, not SQL-expressible.
+  /** Full DuckDB oracles. t10: both engines widen float→double EXACTLY,
+    * accumulate the dot in double, and rank by (round-4 cosine DESC,
+    * neighbor_id) — validated bit-identical on the sf0.01 table. t11
+    * (r04): the 12 hyperplanes are deterministic constants, so they
+    * inline as literal DOUBLE lists (shortest-round-trip formatting —
+    * DuckDB parses back the identical doubles) and the bucket is 12
+    * sign tests of `list_dot_product`, whose sequential double
+    * accumulation already proved bit-compatible in t10. t14 stays
+    * rows-only: its cell assignment depends on centroids LEARNED from
+    * the data (driver-side Lloyd), which a static SQL string cannot
+    * carry.
     */
   val oracles: Map[String, String] = Map(
     "t10_knn_bruteforce" ->
@@ -238,6 +244,30 @@ object Similarity {
         |  FROM pairs)
         |SELECT query_id, neighbor_id, cosine, rank
         |FROM ranked WHERE rank <= 5""".stripMargin,
+    "t11_ann_lsh" -> {
+      val ps = planes()
+      val bucketExpr = ps.zipWithIndex.map { case (row, i) =>
+        val lit = row.map(_.toString).mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product(v, $lit) > 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH n AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                               CAST(embedding AS DOUBLE[]))) AS nrm
+         |  FROM embeddings),
+         |b AS (SELECT vec_id, v, nrm, $bucketExpr AS bucket FROM n),
+         |pairs AS (
+         |  SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         round(list_dot_product(a.v, c.v) / (a.nrm * c.nrm), 4) AS cosine
+         |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cosine,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM pairs)
+         |SELECT query_id, neighbor_id, cosine, rank
+         |FROM ranked WHERE rank <= 5""".stripMargin
+    },
     "t16_quantize_int8" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -262,4 +292,79 @@ object Similarity {
         |                  (v[i] - (mn + codes[i] * scale)))) / len(codes), 8) AS mse
         |FROM q""".stripMargin
   )
+
+  // ------------------------------------------------- dynamic oracles (r04)
+
+  /** SQL fragments shared by the static t11 oracle and the dynamic t14/t9
+    * oracles. Doubles format via Double.toString — the shortest
+    * round-trip representation, which DuckDB parses back to the identical
+    * bits.
+    */
+  def lshBucketSqlExpr(vCol: String): String =
+    planes().zipWithIndex.map { case (row, i) =>
+      val lit = row.map(_.toString).mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product($vCol, $lit) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+
+  def centroidValuesSql(cents: Array[Array[Double]]): String =
+    cents.zipWithIndex.map { case (cv, i) =>
+      s"($i, ${cv.map(_.toString).mkString("[", ", ", "]")})"
+    }.mkString(", ")
+
+  /** Shared CTE chain: `n` (double vector + norm), `cells` (inlined
+    * centroids), `assigned` (rnk 1 = nearest cell, 2 = second). The
+    * distance is a diff-list self-dot so DuckDB accumulates the same
+    * (v[j]−c[j])² terms in the same order as FloatVecNearestCell, and
+    * ORDER BY (dd, ci) replicates the expression's strict-< argmin
+    * tie-breaking (equal distances → lower index).
+    */
+  def ivfAssignCtes(cents: Array[Array[Double]]): String =
+    s"""n AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                               CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings),
+       |cells(ci, cv) AS (VALUES ${centroidValuesSql(cents)}),
+       |dist AS (
+       |  SELECT vec_id, ci, list_dot_product(d, d) AS dd FROM (
+       |    SELECT n.vec_id, cells.ci,
+       |           list_transform(range(1, ${Dim + 1}), j -> n.v[j] - cells.cv[j]) AS d
+       |    FROM n CROSS JOIN cells)),
+       |assigned AS (
+       |  SELECT vec_id, ci,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY dd, ci) AS rnk
+       |  FROM dist)""".stripMargin
+
+  /** Oracles that can only be authored at Verify-dump time because the
+    * IVF centroids are LEARNED from the corpus (deterministic driver-side
+    * Lloyd on the bounded sample). The inlined centroids are
+    * engine-derived constants: these oracles verify everything DOWNSTREAM
+    * of training — assignment, nprobe-2 probing, the cell equi-join,
+    * exact cosine, ranking — in DuckDB. Lloyd itself is pinned by the
+    * DedupSpec determinism case, not by the oracle.
+    */
+  def dynamicOracles(spark: SparkSession, sfDir: String): Map[String, String] = {
+    val cents = ivfCentroids(spark, sfDir)
+    Map(
+      "t14_ann_ivf" ->
+        s"""WITH ${ivfAssignCtes(cents)},
+           |corpus AS (
+           |  SELECT a.ci AS cell, n.vec_id AS neighbor_id, n.v AS cv2, n.nrm AS cn
+           |  FROM n JOIN assigned a ON a.vec_id = n.vec_id AND a.rnk = 1),
+           |queries AS (
+           |  SELECT a.ci AS cell, n.vec_id AS query_id, n.v AS qv, n.nrm AS qn
+           |  FROM n JOIN assigned a ON a.vec_id = n.vec_id AND a.rnk <= 2),
+           |pairs AS (
+           |  SELECT q.query_id, c.neighbor_id,
+           |         round(list_dot_product(q.qv, c.cv2) / (q.qn * c.cn), 4) AS cosine
+           |  FROM queries q JOIN corpus c ON q.cell = c.cell
+           |  WHERE q.query_id <> c.neighbor_id),
+           |ranked AS (
+           |  SELECT query_id, neighbor_id, cosine,
+           |         row_number() OVER (PARTITION BY query_id
+           |                            ORDER BY cosine DESC, neighbor_id) AS rank
+           |  FROM pairs)
+           |SELECT query_id, neighbor_id, cosine, rank
+           |FROM ranked WHERE rank <= 5""".stripMargin)
+  }
 }

@@ -74,14 +74,22 @@ object TextOps {
   }
 
   /** Document fingerprint: order-sensitive rolling hash over tokens
-    * (polynomial accumulate of xxhash64 token hashes) + an order-free
-    * content hash — both via codegen'd higher-order functions.
+    * (affine accumulate mod 2³¹−1 of md5-slice token hashes — the same
+    * DuckDB-expressible family as Dedup's MinHash, r04: xxhash64 had no
+    * DuckDB mirror so t5 was rows-only) + an order-free bag hash (XOR of
+    * the token hashes). The affine step (a·acc + h) keeps every product
+    * under 2⁶² — overflow-free under ANSI in both engines.
     */
+  val FpMul = 1103515245L // 31-bit multiplier (classic LCG constant)
+
   def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
-    docs(spark, sfDir).selectExpr(
-      "doc_id",
-      s"aggregate($Toks, CAST(0 AS BIGINT), (acc, x) -> xxhash64(acc, x)) AS rolling_fp",
-      s"aggregate($Toks, CAST(0 AS BIGINT), (acc, x) -> acc ^ xxhash64(x)) AS bag_fp")
+    docs(spark, sfDir)
+      .selectExpr("doc_id",
+        s"transform($Toks, t -> CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) & 2147483647) AS hs")
+      .selectExpr(
+        "doc_id",
+        s"aggregate(hs, CAST(0 AS BIGINT), (acc, x) -> pmod($FpMul * acc + x, ${Dedup.MinhashP})) AS rolling_fp",
+        "aggregate(hs, CAST(0 AS BIGINT), (acc, x) -> acc ^ x) AS bag_fp")
 
   /** Repetition metrics (Gopher-style duplicate-content filters):
     * duplicate-word fraction, top-token frequency fraction, duplicate
@@ -123,8 +131,10 @@ object TextOps {
     "t15_repetition" -> ((s, d) => repetition(s, d))
   )
 
-  /** DuckDB mirrors (xxhash64 has no DuckDB equivalent → t5 is rows-only;
-    * t4's stopword CASE is mirrored exactly).
+  /** DuckDB mirrors (t4's stopword CASE is mirrored exactly; t5's
+    * rolling/bag hashes mirror via md5-slice token hashes + list_reduce
+    * with a prepended 0 so DuckDB's init-free reduce matches Spark's
+    * init-0 aggregate step-for-step, r04).
     */
   val oracles: Map[String, String] = {
     def dToks = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')"
@@ -150,6 +160,17 @@ object TextOps {
            |FROM documents""".stripMargin,
       "t4_lang_id" ->
         s"SELECT doc_id, lang, $caseExpr AS lang_pred FROM documents",
+      "t5_fingerprint" ->
+        s"""WITH h AS (
+           |  SELECT doc_id,
+           |         list_transform($dToks, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT & 2147483647) AS hs
+           |  FROM documents)
+           |SELECT doc_id,
+           |       list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+           |                   (a, b) -> ($FpMul * a + b) % ${Dedup.MinhashP}) AS rolling_fp,
+           |       list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+           |                   (a, b) -> xor(a, b)) AS bag_fp
+           |FROM h""".stripMargin,
       "t15_repetition" ->
         s"""WITH t AS (
            |  SELECT doc_id, $dToks AS toks FROM documents),
