@@ -136,6 +136,43 @@ object Relational {
           .otherwise(lit("update")).as("action"))
   }
 
+  /** U1/U2/U3/U9/U10 — the reference's URL operators as pure Catalyst
+    * column expressions (r04): fetch-time utm strip (`util.py:88-91`),
+    * hashbang/fragment/utm/reddit normalization (`clean.py:104-111`),
+    * feed `at=` strip (`feed.py` / FeedLogic.stripAtParam) and the
+    * 60-char display truncation (`clean.py:83-89`), over URLs
+    * synthesized deterministically from doc_id (one slice per routing
+    * quirk, including the reference's `?`-eating utm quirk). UrlOpsSpec
+    * pins THREE-WAY agreement per row: kernel functions == these columns
+    * == the DuckDB oracle.
+    */
+  def u1UrlOps(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "documents")
+      .select(col("doc_id"))
+      .withColumn("url", expr(
+        """CASE CAST(doc_id % 5 AS INT)
+          |WHEN 0 THEN concat('http://site', CAST(doc_id AS STRING), '.test/a?utm_source=rss&utm_medium=feed&id=', CAST(doc_id AS STRING))
+          |WHEN 1 THEN concat('http://www.reddit.com/r/sub', CAST(doc_id AS STRING), '/comments#frag', CAST(doc_id AS STRING))
+          |WHEN 2 THEN concat('http://site', CAST(doc_id AS STRING), '.test/page#!p=', CAST(doc_id AS STRING))
+          |WHEN 3 THEN concat('http://feeds', CAST(doc_id AS STRING), '.example/f?at=tok', CAST(doc_id AS STRING), '&x=1')
+          |ELSE concat('http://very-long-host', CAST(doc_id AS STRING), '.example/this/is/a/deliberately/long/path/well/over/sixty/chars')
+          |END""".stripMargin.replace("\n", " ")))
+      .withColumn("clean_url", // U1, incl. the bare '?&' quirk
+        regexp_replace(regexp_replace(col("url"),
+          "utm_[a-z]+=[^&]+(&?)", "$1"), "[?&]+$", ""))
+      .withColumn("norm_url", // U2 + fragment + utm ('?'-eating quirk) + U3
+        expr("replace(" +
+          "regexp_replace(regexp_replace(replace(url, '#!', '?_escaped_fragment_='), '#.*', ''), '[?&]utm_[^&]+', '')" +
+          ", 'www.reddit.com', 'old.reddit.com')"))
+      .withColumn("at_url", // U9
+        regexp_replace(col("url"), "\\?at=[^?&]+", ""))
+      .withColumn("display_url", // U10 (Clean.wrap:162-163)
+        when(length(col("norm_url")) > MaxUrlDisplay,
+          concat(substring(col("norm_url"), 1, MaxUrlDisplay), lit("…")))
+          .otherwise(col("norm_url")))
+
+  private val MaxUrlDisplay = 60
+
   /** Lineage-style aggregate (north rule; SURVEY.md §2.10): the classic
     * grouped rollup shape used for per-partition lineage, run over
     * lineitem. Partial aggregation + 2 grouping cols → tiny shuffle.
@@ -198,7 +235,32 @@ object Relational {
         |       round(sum(l_quantity), 2) AS sum_qty,
         |       round(sum(l_extendedprice), 2) AS sum_price,
         |       round(avg(l_discount), 4) AS avg_disc
-        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    // RE2 ('g' flag = Java replaceAll) reproduces every quirk, incl. the
+    // '?'-eating utm strip and the bare-'?&&' residue — verified cell-
+    // equal vs the kernel regexes by UrlOpsSpec
+    "u1_url_ops" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |         CASE CAST(doc_id % 5 AS INT)
+        |         WHEN 0 THEN concat('http://site', CAST(doc_id AS VARCHAR), '.test/a?utm_source=rss&utm_medium=feed&id=', CAST(doc_id AS VARCHAR))
+        |         WHEN 1 THEN concat('http://www.reddit.com/r/sub', CAST(doc_id AS VARCHAR), '/comments#frag', CAST(doc_id AS VARCHAR))
+        |         WHEN 2 THEN concat('http://site', CAST(doc_id AS VARCHAR), '.test/page#!p=', CAST(doc_id AS VARCHAR))
+        |         WHEN 3 THEN concat('http://feeds', CAST(doc_id AS VARCHAR), '.example/f?at=tok', CAST(doc_id AS VARCHAR), '&x=1')
+        |         ELSE concat('http://very-long-host', CAST(doc_id AS VARCHAR), '.example/this/is/a/deliberately/long/path/well/over/sixty/chars')
+        |         END AS url
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, url,
+        |         regexp_replace(regexp_replace(url, 'utm_[a-z]+=[^&]+(&?)', '\1', 'g'), '[?&]+$', '', 'g') AS clean_url,
+        |         replace(regexp_replace(regexp_replace(replace(url, '#!', '?_escaped_fragment_='), '#.*', '', 'g'), '[?&]utm_[^&]+', '', 'g'), 'www.reddit.com', 'old.reddit.com') AS norm_url,
+        |         regexp_replace(url, '\?at=[^?&]+', '', 'g') AS at_url
+        |  FROM u)
+        |SELECT doc_id, url, clean_url, norm_url, at_url,
+        |       CASE WHEN length(norm_url) > 60
+        |            THEN concat(substr(norm_url, 1, 60), '…')
+        |            ELSE norm_url END AS display_url
+        |FROM n""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -210,6 +272,7 @@ object Relational {
     "d6_scheduling_scan" -> ((s, d) => d6SchedulingScan(s, d)),
     "d7_interval_clamp" -> ((s, d) => d7IntervalClamp(s, d)),
     "d10_upsert" -> ((s, d) => d10Upsert(s, d)),
-    "q1_lineage_agg" -> ((s, d) => q1LineageAgg(s, d))
+    "q1_lineage_agg" -> ((s, d) => q1LineageAgg(s, d)),
+    "u1_url_ops" -> ((s, d) => u1UrlOps(s, d))
   )
 }

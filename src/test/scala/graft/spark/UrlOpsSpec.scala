@@ -1,0 +1,44 @@
+package graft.spark
+
+import graft.kernel.{Clean, FeedLogic}
+
+/** Three-way agreement for the URL operators (U1/U2/U3/U9/U10): the
+  * kernel's per-row Java regexes, the Catalyst column expressions in
+  * Relational.u1UrlOps, and (via the driver's DuckDB compare) the RE2
+  * oracle must produce identical strings for every synthesized URL —
+  * including the reference's quirks (the '?'-eating utm strip, the bare
+  * '?&&' residue, fragment-before-reddit ordering).
+  */
+class UrlOpsSpec extends SparkSpec {
+
+  test("kernel regexes == Catalyst columns for every URL slice") {
+    val rows = Relational.u1UrlOps(spark, sf001).collect()
+    assert(rows.length >= 500)
+    // all five slices present
+    assert(rows.map(_.getAs[Long]("doc_id") % 5).distinct.length == 5)
+    rows.foreach { r =>
+      val url = r.getAs[String]("url")
+      assert(r.getAs[String]("clean_url") == Clean.cleanUrl(url),
+        s"U1 clean_url mismatch for $url")
+      val norm = Clean.normalizeUrl(url)
+      assert(r.getAs[String]("norm_url") == norm,
+        s"U2/U3 norm_url mismatch for $url")
+      assert(r.getAs[String]("at_url") == FeedLogic.stripAtParam(url),
+        s"U9 at_url mismatch for $url")
+      // U10 mirrors Clean.wrap's truncation of the final url
+      val display = r.getAs[String]("display_url")
+      val expected =
+        if (norm.length > Clean.MaxUrlDisplayLen) norm.substring(0, 60) + "…"
+        else norm
+      assert(display == expected, s"U10 display mismatch for $url")
+      assert(Clean.wrap(norm, "").contains(s"'>$display</a>"),
+        s"display_url must be exactly what Clean.wrap renders for $url")
+    }
+    // the quirky slices actually exercised their quirks
+    assert(rows.exists(r => r.getAs[String]("clean_url").contains("?&&")))
+    assert(rows.exists(r => r.getAs[String]("norm_url").contains("old.reddit.com")))
+    assert(rows.exists(r => r.getAs[String]("norm_url").contains("?_escaped_fragment_=")))
+    assert(rows.exists(r => r.getAs[String]("display_url").endsWith("…")))
+    assert(rows.exists(r => r.getAs[String]("at_url").contains(".example/f&x=1")))
+  }
+}
