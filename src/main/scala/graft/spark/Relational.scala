@@ -173,6 +173,57 @@ object Relational {
 
   private val MaxUrlDisplay = 60
 
+  /** F3 — the reference's entry matching (`extract_feed.py:129-152`,
+    * FeedLogic.findEntry) as a relational op (r04): each request tries
+    * four phases in order (url exact, finalUrl exact, url query-trimmed,
+    * finalUrl query-trimmed) against a feed's (link, origlink) entries;
+    * first phase wins, first entry index within a phase. Relationally:
+    * join requests×entries, compute the best matching phase per pair,
+    * then an argmin over (phase, idx) per request — min(struct) does the
+    * lexicographic pick with ONE grouped aggregation (map-side partial).
+    * Entries and requests are synthesized deterministically from doc_id
+    * with one slice per phase plus a no-match slice (NULL result).
+    * UrlOpsSpec pins kernel == this plan per row.
+    */
+  def f3EntryMatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = table(spark, sfDir, "documents").select(col("doc_id"))
+      .withColumn("base",
+        expr("concat('http://feed', CAST(doc_id AS STRING), '.test')"))
+    val req = d
+      .withColumn("url", expr(
+        """CASE CAST(doc_id % 5 AS INT)
+          |WHEN 0 THEN concat(base, '/a?q=1')
+          |WHEN 1 THEN concat(base, '/nope')
+          |WHEN 2 THEN concat(base, '/a?q=9')
+          |WHEN 3 THEN concat(base, '/c')
+          |ELSE concat(base, '/zz') END""".stripMargin.replace("\n", " ")))
+      .withColumn("final_url", expr(
+        "CASE WHEN CAST(doc_id % 5 AS INT) = 1 THEN concat(base, '/orig') ELSE url END"))
+      .select("doc_id", "url", "final_url")
+    val entries = d.selectExpr("doc_id",
+      """explode(array(
+        |  named_struct('idx', CAST(0 AS BIGINT), 'link', concat(base, '/a?q=1'), 'orig', CAST(NULL AS STRING)),
+        |  named_struct('idx', CAST(1 AS BIGINT), 'link', concat(base, '/b'), 'orig', concat(base, '/orig')),
+        |  named_struct('idx', CAST(2 AS BIGINT), 'link', concat(base, '/c?x=2'), 'orig', CAST(NULL AS STRING)))) AS e"""
+        .stripMargin.replace("\n", " "))
+      .select(col("doc_id"), col("e.idx").as("idx"),
+        col("e.link").as("link"), col("e.orig").as("orig"))
+    req.join(entries, Seq("doc_id"))
+      .withColumn("phase", expr(
+        """CASE
+          |WHEN link = url OR orig = url THEN 1
+          |WHEN link = final_url OR orig = final_url THEN 2
+          |WHEN element_at(split(link, '\\?'), 1) = element_at(split(url, '\\?'), 1)
+          |  OR element_at(split(orig, '\\?'), 1) = element_at(split(url, '\\?'), 1) THEN 3
+          |WHEN element_at(split(link, '\\?'), 1) = element_at(split(final_url, '\\?'), 1)
+          |  OR element_at(split(orig, '\\?'), 1) = element_at(split(final_url, '\\?'), 1) THEN 4
+          |END""".stripMargin.replace("\n", " ")))
+      .groupBy(col("doc_id"))
+      .agg(min(when(col("phase").isNotNull,
+        struct(col("phase"), col("idx")))).as("m"))
+      .select(col("doc_id"), col("m.idx").as("matched_idx"))
+  }
+
   /** Lineage-style aggregate (north rule; SURVEY.md §2.10): the classic
     * grouped rollup shape used for per-partition lineage, run over
     * lineitem. Partial aggregation + 2 grouping cols → tiny shuffle.
@@ -260,7 +311,47 @@ object Relational {
         |       CASE WHEN length(norm_url) > 60
         |            THEN concat(substr(norm_url, 1, 60), '…')
         |            ELSE norm_url END AS display_url
-        |FROM n""".stripMargin
+        |FROM n""".stripMargin,
+    "f3_entry_match" ->
+      """WITH d AS (
+        |  SELECT doc_id, concat('http://feed', CAST(doc_id AS VARCHAR), '.test') AS base
+        |  FROM documents),
+        |req AS (
+        |  SELECT doc_id,
+        |         CASE CAST(doc_id % 5 AS INT)
+        |         WHEN 0 THEN concat(base, '/a?q=1')
+        |         WHEN 1 THEN concat(base, '/nope')
+        |         WHEN 2 THEN concat(base, '/a?q=9')
+        |         WHEN 3 THEN concat(base, '/c')
+        |         ELSE concat(base, '/zz') END AS url,
+        |         base
+        |  FROM d),
+        |req2 AS (
+        |  SELECT doc_id, url,
+        |         CASE WHEN CAST(doc_id % 5 AS INT) = 1
+        |              THEN concat(base, '/orig') ELSE url END AS final_url
+        |  FROM req),
+        |e AS (
+        |  SELECT doc_id, CAST(0 AS BIGINT) AS idx, concat(base, '/a?q=1') AS link, CAST(NULL AS VARCHAR) AS orig FROM d
+        |  UNION ALL SELECT doc_id, 1, concat(base, '/b'), concat(base, '/orig') FROM d
+        |  UNION ALL SELECT doc_id, 2, concat(base, '/c?x=2'), NULL FROM d),
+        |j AS (
+        |  SELECT r.doc_id, e.idx,
+        |         CASE
+        |         WHEN e.link = r.url OR e.orig = r.url THEN 1
+        |         WHEN e.link = r.final_url OR e.orig = r.final_url THEN 2
+        |         WHEN split_part(e.link, '?', 1) = split_part(r.url, '?', 1)
+        |           OR split_part(e.orig, '?', 1) = split_part(r.url, '?', 1) THEN 3
+        |         WHEN split_part(e.link, '?', 1) = split_part(r.final_url, '?', 1)
+        |           OR split_part(e.orig, '?', 1) = split_part(r.final_url, '?', 1) THEN 4
+        |         END AS phase
+        |  FROM req2 r JOIN e ON e.doc_id = r.doc_id),
+        |ranked AS (
+        |  SELECT doc_id, idx,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY phase, idx) AS rn
+        |  FROM j WHERE phase IS NOT NULL)
+        |SELECT r.doc_id, k.idx AS matched_idx
+        |FROM req2 r LEFT JOIN ranked k ON k.doc_id = r.doc_id AND k.rn = 1""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -273,6 +364,7 @@ object Relational {
     "d7_interval_clamp" -> ((s, d) => d7IntervalClamp(s, d)),
     "d10_upsert" -> ((s, d) => d10Upsert(s, d)),
     "q1_lineage_agg" -> ((s, d) => q1LineageAgg(s, d)),
-    "u1_url_ops" -> ((s, d) => u1UrlOps(s, d))
+    "u1_url_ops" -> ((s, d) => u1UrlOps(s, d)),
+    "f3_entry_match" -> ((s, d) => f3EntryMatch(s, d))
   )
 }

@@ -42,11 +42,16 @@ class PlanSpec extends SparkSpec {
       "t4" -> graft.ops.TextOps.langId(spark, sf001),
       "t5" -> graft.ops.TextOps.fingerprint(spark, sf001),
       "t15" -> graft.ops.TextOps.repetition(spark, sf001),
-      "t16" -> graft.ops.Similarity.quantizeInt8(spark, sf001))
+      "t16" -> graft.ops.Similarity.quantizeInt8(spark, sf001),
+      "u1" -> Relational.u1UrlOps(spark, sf001))
     for ((nm, df) <- perRow) {
       val p = plan(df)
       assert(!p.contains("Exchange"), s"$nm: unexpected shuffle:\n$p")
     }
+    // u1 synthesizes urls from doc_id alone — text/lang/source pruned out
+    val pu1 = plan(Relational.u1UrlOps(spark, sf001))
+    assert(pu1.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"u1 scan not pruned to doc_id:\n$pu1")
     // scans prune to exactly the consumed columns
     val p15 = plan(graft.ops.TextOps.repetition(spark, sf001))
     assert(p15.contains("ReadSchema: struct<doc_id:bigint,text:string>"),

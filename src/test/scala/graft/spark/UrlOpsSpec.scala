@@ -41,4 +41,36 @@ class UrlOpsSpec extends SparkSpec {
     assert(rows.exists(r => r.getAs[String]("display_url").endsWith("…")))
     assert(rows.exists(r => r.getAs[String]("at_url").contains(".example/f&x=1")))
   }
+
+  test("f3 entry match: relational argmin over (phase, idx) == kernel findEntry") {
+    val rows = Relational.f3EntryMatch(spark, sf001).collect()
+    assert(rows.length >= 500)
+    rows.foreach { r =>
+      val docId = r.getAs[Long]("doc_id")
+      val base = s"http://feed$docId.test"
+      val entries = Seq(
+        (s"$base/a?q=1", null: String),
+        (s"$base/b", s"$base/orig"),
+        (s"$base/c?x=2", null: String))
+      val url = (docId % 5) match {
+        case 0 => s"$base/a?q=1"
+        case 1 => s"$base/nope"
+        case 2 => s"$base/a?q=9"
+        case 3 => s"$base/c"
+        case _ => s"$base/zz"
+      }
+      val finalUrl = if (docId % 5 == 1) s"$base/orig" else url
+      val expected = FeedLogic.findEntry(entries, url, finalUrl).map(_.toLong)
+      val got = Option(r.get(1)).map(_.asInstanceOf[Long])
+      assert(got == expected, s"doc $docId: got $got, kernel says $expected")
+    }
+    // every phase slice resolves as designed (incl. the NULL no-match)
+    def m(k: Long) = rows.filter(_.getAs[Long]("doc_id") % 5 == k)
+      .map(r => Option(r.get(1)).map(_.asInstanceOf[Long])).distinct.toSeq
+    assert(m(0) == Seq(Some(0L))) // phase 1: url exact
+    assert(m(1) == Seq(Some(1L))) // phase 2: finalUrl vs origlink
+    assert(m(2) == Seq(Some(0L))) // phase 3: query-trimmed url
+    assert(m(3) == Seq(Some(2L))) // phase 3 via trimmed entry link
+    assert(m(4) == Seq(None))     // no match -> NULL
+  }
 }
