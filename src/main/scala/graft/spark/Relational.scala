@@ -173,6 +173,85 @@ object Relational {
 
   private val MaxUrlDisplay = 60
 
+  /** U5/U6/U8 — the reference's Django template emissions as SQL string
+    * expressions (r04): google-docs (`templates/google-docs.html`),
+    * youtube iframe (`templates/youtube.html`) and image w/ urlizetrunc
+    * (`templates/image.html`), over synthesized inputs that exercise
+    * every escapable character and both truncation branches. Django's
+    * conditional_escape is a 5-step replace chain (& FIRST — order
+    * matters) identical in Spark and DuckDB. U7 (pdf) is excluded: its
+    * `|urlencode` percent-encoding has no SQL mirror; it stays golden-
+    * gated (`route_pdf`). UrlOpsSpec pins kernel == columns per row.
+    */
+  def u5Templates(spark: SparkSession, sfDir: String): DataFrame = {
+    // djangoEscape as a SQL fragment (same chain as Clean.djangoEscape)
+    def esc(col: String): String =
+      s"""replace(replace(replace(replace(replace($col,
+         | '&', '&amp;'), '<', '&lt;'), '>', '&gt;'),
+         | '"', '&quot;'), '''', '&#x27;')""".stripMargin.replace("\n", " ")
+    table(spark, sfDir, "documents")
+      .select(col("doc_id"))
+      .withColumn("docid", expr("concat('dg', CAST(doc_id AS STRING), '_<x>&\"y''')"))
+      .withColumn("vid", expr("concat('v', CAST(doc_id AS STRING), '-_&z')"))
+      .withColumn("img_url", expr(
+        """CASE WHEN doc_id % 2 = 0
+          |THEN concat('http://img', CAST(doc_id AS STRING), '.test/a.png?cap=<b>&q="x"')
+          |ELSE concat('http://img', CAST(doc_id AS STRING), '.test/a/very/long/path/that/certainly/exceeds/seventy/characters/in/total/x.png')
+          |END""".stripMargin.replace("\n", " ")))
+      .withColumn("page_url", expr("concat('http://docs.google.com/View?docid=dg', CAST(doc_id AS STRING), '&hl=en')"))
+      .withColumn("gdocs_html", expr(
+        s"""concat('Google Docs item:\\n<ul>\\n<li><a href="http://docs.google.com/viewer?a=v&pid=writely&srcid=',
+           | ${esc("docid")},
+           | '&chrome=false&pli=1">Open Preview</a></li>\\n<li><a href="',
+           | ${esc("page_url")}, '">Open Original</a></li>\\n</ul>\\n')"""
+          .stripMargin.replace("\n", " ")))
+      .withColumn("youtube_html", expr(
+        s"""concat('<center>\\n<iframe width="640" height="390" src="https://www.youtube.com/embed/',
+           | ${esc("vid")}, '" frameborder="0"></iframe>\\n</center>\\n')"""
+          .stripMargin.replace("\n", " ")))
+      .withColumn("img_display", expr(
+        "CASE WHEN length(img_url) > 70 THEN concat(substring(img_url, 1, 69), '…') ELSE img_url END"))
+      .withColumn("image_html", expr(
+        s"""concat('(Image from <a href="', ${esc("img_url")},
+           | '" rel="nofollow">', ${esc("img_display")},
+           | '</a>):<br>\\n<img src="', ${esc("img_url")}, '">\\n')"""
+          .stripMargin.replace("\n", " ")))
+      .select("doc_id", "docid", "vid", "img_url", "page_url",
+        "gdocs_html", "youtube_html", "image_html")
+  }
+
+  /** F4 — the reference's content choice (`util.py:133-149`,
+    * FeedLogic.feedEntryContent) as array HOFs (r04): single content →
+    * its value; several → the first `text/html` one; several without
+    * html falls THROUGH to summary_detail → summary → '' (a reference
+    * quirk the CASE mirrors exactly). One slice per branch.
+    */
+  def f4ContentChoice(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "documents")
+      .select(col("doc_id"))
+      .withColumn("contents", expr(
+        """CASE CAST(doc_id % 4 AS INT)
+          |WHEN 0 THEN array(named_struct('t', 'text/plain', 'v', concat('plain', CAST(doc_id AS STRING))))
+          |WHEN 1 THEN array(named_struct('t', 'text/plain', 'v', 'p1'),
+          |                  named_struct('t', 'text/html', 'v', concat('html', CAST(doc_id AS STRING))))
+          |WHEN 2 THEN array(named_struct('t', 'text/plain', 'v', 'p2'),
+          |                  named_struct('t', 'application/xhtml+xml', 'v', 'x2'))
+          |ELSE CAST(array() AS ARRAY<STRUCT<t: STRING, v: STRING>>)
+          |END""".stripMargin.replace("\n", " ")))
+      .withColumn("summary_detail", expr(
+        "CASE WHEN CAST(doc_id % 4 AS INT) = 2 THEN concat('sd', CAST(doc_id AS STRING)) ELSE CAST(NULL AS STRING) END"))
+      .withColumn("summary", expr(
+        "CASE WHEN CAST(doc_id % 4 AS INT) = 3 THEN concat('sum', CAST(doc_id AS STRING)) ELSE CAST(NULL AS STRING) END"))
+      .withColumn("chosen", expr(
+        """CASE
+          |WHEN size(contents) = 1 THEN element_at(contents, 1).v
+          |WHEN size(contents) > 1 AND size(filter(contents, c -> c.t = 'text/html')) > 0
+          |  THEN element_at(filter(contents, c -> c.t = 'text/html'), 1).v
+          |WHEN summary_detail IS NOT NULL THEN summary_detail
+          |WHEN summary IS NOT NULL THEN summary
+          |ELSE '' END""".stripMargin.replace("\n", " ")))
+      .select("doc_id", "summary_detail", "summary", "chosen")
+
   /** F3 — the reference's entry matching (`extract_feed.py:129-152`,
     * FeedLogic.findEntry) as a relational op (r04): each request tries
     * four phases in order (url exact, finalUrl exact, url query-trimmed,
@@ -351,7 +430,64 @@ object Relational {
         |         row_number() OVER (PARTITION BY doc_id ORDER BY phase, idx) AS rn
         |  FROM j WHERE phase IS NOT NULL)
         |SELECT r.doc_id, k.idx AS matched_idx
-        |FROM req2 r LEFT JOIN ranked k ON k.doc_id = r.doc_id AND k.rn = 1""".stripMargin
+        |FROM req2 r LEFT JOIN ranked k ON k.doc_id = r.doc_id AND k.rn = 1""".stripMargin,
+    // E'' strings so \n is a real newline (plain DuckDB '' literals keep
+    // the backslash); the same 5-step &-first escape chain as Spark
+    "u5_templates" -> {
+      def esc(col: String): String =
+        s"""replace(replace(replace(replace(replace($col, '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), '"', '&quot;'), '''', '&#x27;')"""
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |         concat('dg', CAST(doc_id AS VARCHAR), '_<x>&"y''') AS docid,
+         |         concat('v', CAST(doc_id AS VARCHAR), '-_&z') AS vid,
+         |         CASE WHEN doc_id % 2 = 0
+         |         THEN concat('http://img', CAST(doc_id AS VARCHAR), '.test/a.png?cap=<b>&q="x"')
+         |         ELSE concat('http://img', CAST(doc_id AS VARCHAR), '.test/a/very/long/path/that/certainly/exceeds/seventy/characters/in/total/x.png')
+         |         END AS img_url,
+         |         concat('http://docs.google.com/View?docid=dg', CAST(doc_id AS VARCHAR), '&hl=en') AS page_url
+         |  FROM documents),
+         |t AS (
+         |  SELECT *,
+         |         CASE WHEN length(img_url) > 70
+         |              THEN concat(substr(img_url, 1, 69), '…') ELSE img_url END AS img_display
+         |  FROM d)
+         |SELECT doc_id, docid, vid, img_url, page_url,
+         |       concat(E'Google Docs item:\\n<ul>\\n<li><a href="http://docs.google.com/viewer?a=v&pid=writely&srcid=',
+         |              ${esc("docid")},
+         |              E'&chrome=false&pli=1">Open Preview</a></li>\\n<li><a href="',
+         |              ${esc("page_url")}, E'">Open Original</a></li>\\n</ul>\\n') AS gdocs_html,
+         |       concat(E'<center>\\n<iframe width="640" height="390" src="https://www.youtube.com/embed/',
+         |              ${esc("vid")}, E'" frameborder="0"></iframe>\\n</center>\\n') AS youtube_html,
+         |       concat('(Image from <a href="', ${esc("img_url")},
+         |              '" rel="nofollow">', ${esc("img_display")},
+         |              E'</a>):<br>\\n<img src="', ${esc("img_url")}, E'">\\n') AS image_html
+         |FROM t""".stripMargin
+    },
+    "f4_content_choice" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CASE CAST(doc_id % 4 AS INT)
+        |         WHEN 0 THEN [{'t': 'text/plain', 'v': concat('plain', CAST(doc_id AS VARCHAR))}]
+        |         WHEN 1 THEN [{'t': 'text/plain', 'v': 'p1'},
+        |                      {'t': 'text/html', 'v': concat('html', CAST(doc_id AS VARCHAR))}]
+        |         WHEN 2 THEN [{'t': 'text/plain', 'v': 'p2'},
+        |                      {'t': 'application/xhtml+xml', 'v': 'x2'}]
+        |         ELSE CAST([] AS STRUCT(t VARCHAR, v VARCHAR)[])
+        |         END AS contents,
+        |         CASE WHEN CAST(doc_id % 4 AS INT) = 2
+        |              THEN concat('sd', CAST(doc_id AS VARCHAR)) END AS summary_detail,
+        |         CASE WHEN CAST(doc_id % 4 AS INT) = 3
+        |              THEN concat('sum', CAST(doc_id AS VARCHAR)) END AS summary
+        |  FROM documents)
+        |SELECT doc_id, summary_detail, summary,
+        |       CASE
+        |       WHEN len(contents) = 1 THEN contents[1].v
+        |       WHEN len(contents) > 1 AND len(list_filter(contents, c -> c.t = 'text/html')) > 0
+        |         THEN (list_filter(contents, c -> c.t = 'text/html')[1]).v
+        |       WHEN summary_detail IS NOT NULL THEN summary_detail
+        |       WHEN summary IS NOT NULL THEN summary
+        |       ELSE '' END AS chosen
+        |FROM d""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -365,6 +501,8 @@ object Relational {
     "d10_upsert" -> ((s, d) => d10Upsert(s, d)),
     "q1_lineage_agg" -> ((s, d) => q1LineageAgg(s, d)),
     "u1_url_ops" -> ((s, d) => u1UrlOps(s, d)),
-    "f3_entry_match" -> ((s, d) => f3EntryMatch(s, d))
+    "u5_templates" -> ((s, d) => u5Templates(s, d)),
+    "f3_entry_match" -> ((s, d) => f3EntryMatch(s, d)),
+    "f4_content_choice" -> ((s, d) => f4ContentChoice(s, d))
   )
 }

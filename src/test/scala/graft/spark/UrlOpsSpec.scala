@@ -42,6 +42,53 @@ class UrlOpsSpec extends SparkSpec {
     assert(rows.exists(r => r.getAs[String]("at_url").contains(".example/f&x=1")))
   }
 
+  test("u5/u6/u8 templates: SQL replace chains == kernel template emitters") {
+    val rows = Relational.u5Templates(spark, sf001).collect()
+    assert(rows.length >= 500)
+    rows.foreach { r =>
+      val docid = r.getAs[String]("docid")
+      val vid = r.getAs[String]("vid")
+      val imgUrl = r.getAs[String]("img_url")
+      val pageUrl = r.getAs[String]("page_url")
+      assert(r.getAs[String]("gdocs_html") == Clean.googleDocsTemplate(docid, pageUrl),
+        s"U5 mismatch for $docid")
+      assert(r.getAs[String]("youtube_html") == Clean.youtubeTemplate(vid),
+        s"U6 mismatch for $vid")
+      assert(r.getAs[String]("image_html") == Clean.imageTemplate(imgUrl),
+        s"U8 mismatch for $imgUrl")
+    }
+    // both truncation branches and every escapable char exercised
+    assert(rows.exists(_.getAs[String]("image_html").contains("…")))
+    assert(rows.exists(r => !r.getAs[String]("image_html").contains("…")))
+    assert(rows.forall(r => Seq("&amp;", "&lt;", "&gt;", "&quot;", "&#x27;")
+      .forall(r.getAs[String]("gdocs_html").contains)))
+  }
+
+  test("f4 content choice: array HOF CASE == kernel feedEntryContent per slice") {
+    val rows = Relational.f4ContentChoice(spark, sf001).collect()
+    assert(rows.length >= 500)
+    rows.foreach { r =>
+      val docId = r.getAs[Long]("doc_id")
+      val contents: Seq[(String, String)] = (docId % 4) match {
+        case 0 => Seq(("text/plain", s"plain$docId"))
+        case 1 => Seq(("text/plain", "p1"), ("text/html", s"html$docId"))
+        case 2 => Seq(("text/plain", "p2"), ("application/xhtml+xml", "x2"))
+        case _ => Seq.empty
+      }
+      val sd = if (docId % 4 == 2) s"sd$docId" else null
+      val sum = if (docId % 4 == 3) s"sum$docId" else null
+      assert(r.getAs[String]("chosen") ==
+        FeedLogic.feedEntryContent(contents, sd, sum),
+        s"F4 mismatch for doc $docId")
+    }
+    // every branch fired: single, html-pick, fall-through-to-summary_detail, summary
+    val got = rows.map(r => (r.getAs[Long]("doc_id") % 4, r.getAs[String]("chosen")))
+    assert(got.exists { case (m, v) => m == 0 && v.startsWith("plain") })
+    assert(got.exists { case (m, v) => m == 1 && v.startsWith("html") })
+    assert(got.exists { case (m, v) => m == 2 && v.startsWith("sd") })
+    assert(got.exists { case (m, v) => m == 3 && v.startsWith("sum") })
+  }
+
   test("f3 entry match: relational argmin over (phase, idx) == kernel findEntry") {
     val rows = Relational.f3EntryMatch(spark, sf001).collect()
     assert(rows.length >= 500)
