@@ -93,7 +93,16 @@ object SparkEntry {
     * Similarity.dynamicOracles). Verify dumps THIS map.
     */
   def oracleSqlDynamic(spark: SparkSession, sfDir: String): Map[String, String] =
-    oracleSql ++
-      graft.ops.Similarity.dynamicOracles(spark, sfDir) ++
-      graft.ops.Dedup.dynamicOracles(spark, sfDir)
+    oracleSql ++ {
+      // fail-safe: a broken embeddings table must degrade t9/t14 to
+      // rows-only (missing oracle entries), not crash Verify before it
+      // writes oracle_sql.json and zero the whole correctness round
+      try graft.ops.Similarity.dynamicOracles(spark, sfDir) ++
+        graft.ops.Dedup.dynamicOracles(spark, sfDir)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[oracles] dynamic oracles skipped: ${e.getMessage}")
+          Map.empty[String, String]
+      }
+    }
 }
