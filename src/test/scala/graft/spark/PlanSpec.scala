@@ -43,7 +43,9 @@ class PlanSpec extends SparkSpec {
       "t5" -> graft.ops.TextOps.fingerprint(spark, sf001),
       "t15" -> graft.ops.TextOps.repetition(spark, sf001),
       "t16" -> graft.ops.Similarity.quantizeInt8(spark, sf001),
-      "u1" -> Relational.u1UrlOps(spark, sf001))
+      "u1" -> Relational.u1UrlOps(spark, sf001),
+      "u5" -> Relational.u5Templates(spark, sf001),
+      "f4" -> Relational.f4ContentChoice(spark, sf001))
     for ((nm, df) <- perRow) {
       val p = plan(df)
       assert(!p.contains("Exchange"), s"$nm: unexpected shuffle:\n$p")
@@ -59,6 +61,16 @@ class PlanSpec extends SparkSpec {
     val p16 = plan(graft.ops.Similarity.quantizeInt8(spark, sf001))
     assert(p16.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"),
       s"t16 scan not pruned to (vec_id, embedding):\n$p16")
+  }
+
+  test("f3 entry match resolves with one grouped argmin (map-side partial)") {
+    val p = plan(Relational.f3EntryMatch(spark, sf001))
+    val exchanges = p.linesIterator
+      .count(l => l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges <= 2, s"f3 should need at most the groupBy (+join) shuffles:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial"),
+      s"no map-side partial argmin in:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
   test("t1 exact dedup aggregates with a map-side partial (one shuffle)") {
