@@ -145,7 +145,7 @@ object Bench {
     try {
       val buckets = 64
       val pages = ExtractJob.withPid(s.read.parquet(corpusDir), buckets)
-      val plan = ExtractJob.extract(pages, buckets)
+      val plan = ExtractJob.extract(pages)
       // codegen + JIT caches are JVM-global: only the first leg warms.
       if (warm) plan.count()
       val t0 = System.nanoTime()

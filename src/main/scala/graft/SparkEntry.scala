@@ -28,7 +28,7 @@ object SparkEntry {
   def extractQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val pages = PagesGen.asDataFrame(spark, sfDir)
     val buckets = 32
-    ExtractJob.extract(ExtractJob.withPid(pages, buckets), buckets)
+    ExtractJob.extract(ExtractJob.withPid(pages, buckets))
       .toDF()
       .select(
         col("url"),
@@ -45,7 +45,7 @@ object SparkEntry {
   def lineageQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val pages = PagesGen.asDataFrame(spark, sfDir)
     val buckets = 32
-    val extracted = ExtractJob.extract(ExtractJob.withPid(pages, buckets), buckets)
+    val extracted = ExtractJob.extract(ExtractJob.withPid(pages, buckets))
     ExtractJob.lineage(extracted, "verify")
       .select(
         col("partition_id").cast("long").as("partition_id"),

@@ -58,17 +58,30 @@ object ExtractJob {
   def withPid(pages: DataFrame, buckets: Int): DataFrame =
     pages.withColumn("pid", pmod(xxhash64(col("url")), lit(buckets)).cast("int"))
 
-  /** The kernel applied per partition. Input must carry `pid`. */
+  /** The kernel applied SCAN-LOCALLY per input split. Input must carry
+    * `pid` (a column — it survives AQE and any physical partitioning).
+    *
+    * r04 redesign: extraction itself no longer repartitions on pid. The
+    * old pid shuffle moved the FULL html corpus — at 10^12 docs that is
+    * the single largest byte movement in the job, and locally it made
+    * extraction 3× slower (measured 4.7–6.2 s vs 1.5–1.7 s warm on the
+    * bench corpus). Nothing in extraction needs pid co-location: the
+    * kernel is per-row, and lineage aggregates on the pid COLUMN with
+    * bounded per-task partials (lineageFromColumns stage 1 already
+    * handled multi-pid tasks). The one consumer that DOES need pid
+    * clustering — the pid-partitioned output write in runToDir — now
+    * clusters the EXTRACTED rows instead, whose boilerplate-stripped
+    * content is a fraction of the input html bytes: same bounded
+    * files-per-pid, an order less shuffle traffic.
+    */
   def extract(
       pagesWithPid: DataFrame,
-      buckets: Int,
       maxHtmlBytes: Int = DefaultMaxHtmlBytes,
       attempts: Int = 2): Dataset[ExtractedRow] = {
     val spark = pagesWithPid.sparkSession
     import spark.implicits._
     pagesWithPid
       .select("url", "html", "pid")
-      .repartition(buckets, col("pid"))
       .as[(String, Array[Byte], Int)]
       .mapPartitions { it =>
         it.map { case (url, html, pid) =>
@@ -281,12 +294,19 @@ object ExtractJob {
         pending.filter(col("pid").isin(keep: _*))
       }
 
-    val extracted = extract(scope, buckets, maxHtmlBytes)
+    val extracted = extract(scope, maxHtmlBytes)
     val prevOverwriteMode =
       spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
-      extracted.write
+      // pid clustering happens HERE, on the extracted rows (content ≪
+      // input html), not before the kernel (r04 — see extract scaladoc):
+      // one writing task per pid keeps files-per-partition-dir bounded at
+      // any executor count, which is what dynamic overwrite granularity
+      // and the resume contract rely on.
+      extracted
+        .repartition(buckets, col("pid"))
+        .write
         .mode(SaveMode.Overwrite)
         .partitionBy("pid")
         .parquet(s"$outDir/extracted")

@@ -45,7 +45,7 @@ object ProfileCli {
       table.count()
     }
     timed("full pipeline") {
-      ExtractJob.extract(ExtractJob.withPid(table, buckets), buckets).count()
+      ExtractJob.extract(ExtractJob.withPid(table, buckets)).count()
     }
     spark.stop()
   }

@@ -47,7 +47,7 @@ object WorkerExtractCli {
         raw.filter(col("wslice") === workerIdx)
       }
     val pages = ExtractJob.withPid(sliced.drop("wslice"), buckets)
-    val plan = ExtractJob.extract(pages, buckets)
+    val plan = ExtractJob.extract(pages)
     plan.count() // warmup: identical plan
 
     Files.write(Paths.get(syncDir, s"ready-$workerIdx"), Array.emptyByteArray)

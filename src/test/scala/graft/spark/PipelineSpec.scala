@@ -16,7 +16,7 @@ class PipelineSpec extends SparkSpec {
   test("spark extraction is byte-identical to the kernel per url") {
     val buckets = 8
     val viaSpark = ExtractJob
-      .extract(ExtractJob.withPid(PagesGen.asDataFrame(spark, sf001), buckets), buckets)
+      .extract(ExtractJob.withPid(PagesGen.asDataFrame(spark, sf001), buckets))
       .collect()
       .map(r => r.url -> (r.content, r.note, r.error))
       .toMap
@@ -55,7 +55,7 @@ class PipelineSpec extends SparkSpec {
   test("lineage balances: sum(input_count)=rows, ok+fail=input, bytes match") {
     val buckets = 8
     val extracted = ExtractJob
-      .extract(ExtractJob.withPid(PagesGen.asDataFrame(spark, sf001), buckets), buckets)
+      .extract(ExtractJob.withPid(PagesGen.asDataFrame(spark, sf001), buckets))
     val rows = ExtractJob.lineage(extracted, "t").collect()
     assert(rows.map(_.input_count).sum == pages.length)
     assert(rows.forall(r => r.ok_count + r.fail_count == r.input_count))
@@ -67,7 +67,7 @@ class PipelineSpec extends SparkSpec {
     val buckets = 4
     val out = ExtractJob
       .extract(ExtractJob.withPid(PagesGen.asDataFrame(spark, sf001), buckets),
-        buckets, maxHtmlBytes = 600)
+        maxHtmlBytes = 600)
       .collect()
     val capped = out.filter(_.note == "size-cap")
     assert(capped.nonEmpty)
@@ -75,7 +75,7 @@ class PipelineSpec extends SparkSpec {
     val l = ExtractJob.lineage(
       ExtractJob.extract(
         ExtractJob.withPid(PagesGen.asDataFrame(spark, sf001), buckets),
-        buckets, maxHtmlBytes = 600), "cap").collect()
+        maxHtmlBytes = 600), "cap").collect()
     assert(l.map(_.fail_count).sum == capped.length)
     assert(l.filter(_.fail_count > 0).forall(_.failure_samples.nonEmpty))
   }

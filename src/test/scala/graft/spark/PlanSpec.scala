@@ -101,14 +101,35 @@ class PlanSpec extends SparkSpec {
     assert(!readSchema.contains("props"), s"props not pruned: $readSchema")
   }
 
-  test("extraction over a pages table has exactly one exchange (the pid repartition)") {
+  test("extraction over a pages table is SHUFFLE-FREE (r04: scan-local kernel)") {
+    // r03 shipped one pid exchange before the kernel; r04 removed it —
+    // the shuffle moved the FULL html corpus (the largest byte movement
+    // in the job at 10^12 docs; 3x the local wall-clock) and nothing in
+    // extraction needs pid co-location. Clustering now happens on the
+    // EXTRACTED rows at the write (next test).
     val dir = Files.createTempDirectory("graft-plan").toString
     PagesGen.asDataFrame(spark, sf001).write.parquet(s"$dir/pages")
     val pages = spark.read.parquet(s"$dir/pages")
-    val ds = ExtractJob.extract(ExtractJob.withPid(pages, 8), 8)
+    val ds = ExtractJob.extract(ExtractJob.withPid(pages, 8))
     val exchanges = plan(ds.toDF())
       .linesIterator.count(l => l.contains("Exchange") && !l.contains("Reused"))
-    assert(exchanges == 1, s"expected exactly 1 shuffle, got $exchanges")
+    assert(exchanges == 0, s"expected a shuffle-free extraction plan, got $exchanges")
+  }
+
+  test("write clustering shuffles EXTRACTED rows, never the html blob") {
+    val dir = Files.createTempDirectory("graft-plan5").toString
+    PagesGen.asDataFrame(spark, sf001).write.parquet(s"$dir/pages")
+    val pages = spark.read.parquet(s"$dir/pages")
+    val clustered = ExtractJob.extract(ExtractJob.withPid(pages, 8))
+      .repartition(8, org.apache.spark.sql.functions.col("pid"))
+    val p = plan(clustered.toDF())
+    val exchanges = p.linesIterator
+      .count(l => l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges == 1, s"expected exactly the write-clustering shuffle:\n$p")
+    // the exchange sits ABOVE the kernel: it moves ExtractedRow (content),
+    // not the raw page html — the schema at the shuffle proves it
+    assert(clustered.schema.fieldNames.contains("content") &&
+      !clustered.schema.fieldNames.contains("html"))
   }
 
   test("lineage aggregation is partial (map-side combine before the shuffle)") {
@@ -116,7 +137,7 @@ class PlanSpec extends SparkSpec {
     PagesGen.asDataFrame(spark, sf001).write.parquet(s"$dir/pages")
     val pages = spark.read.parquet(s"$dir/pages")
     val lin = ExtractJob.lineage(
-      ExtractJob.extract(ExtractJob.withPid(pages, 8), 8), "p")
+      ExtractJob.extract(ExtractJob.withPid(pages, 8)), "p")
     val p = plan(lin.toDF())
     assert(p.contains("partial_count") || p.contains("partial"),
       s"no partial aggregation in:\n$p")
@@ -133,7 +154,7 @@ class PlanSpec extends SparkSpec {
     PagesGen.asDataFrame(spark, sf001).write.parquet(s"$dir/pages")
     ExtractJob.lineage(
       ExtractJob.extract(
-        ExtractJob.withPid(spark.read.parquet(s"$dir/pages"), 8), 8), "run-a")
+        ExtractJob.withPid(spark.read.parquet(s"$dir/pages"), 8)), "run-a")
       .write.parquet(s"$dir/lineage")
     val committed = ExtractJob.committedPidsDf(spark, s"$dir/lineage", "run-a").get
     val pending = ExtractJob.withPid(spark.read.parquet(s"$dir/pages"), 8)
