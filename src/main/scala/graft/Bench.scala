@@ -451,8 +451,12 @@ object Bench {
 
     try {
       // --- corpora (cached in /tmp across runs and rounds) ---
-      val (execDir, _) = corpus(sfDir, replEff * 2, partitionBySlice = true)
-      val (effDir, _) = corpus(sfDir, replEff)
+      // Scaling corpora are 2× larger than before r04: the shuffle-free
+      // extraction roughly doubled throughput, which pushed the fast legs
+      // toward the ~0.5 s fixed per-job floor (a 4-JVM level measured ~4 s
+      // — 12% floor contamination). ×4/×2 restores ≥15 s small legs.
+      val (execDir, _) = corpus(sfDir, replEff * 4, partitionBySlice = true)
+      val (effDir, _) = corpus(sfDir, replEff * 2)
       State.sectionsDone ::= "corpus"
       State.write(partial = true)
 
