@@ -309,8 +309,11 @@ object Bench {
 
   /** Mutable result state — every section fills its slot and re-emits, so
     * a kill at any point leaves a parseable artifact on disk.
+    * private[graft] so BenchFormatSpec can pin the artifact format (the
+    * driver keeps only a 2,000-char tail of the printed line — the
+    * gate_summary trailer MUST stay the last key).
     */
-  private object State {
+  private[graft] object State {
     var sfDir = ""
     var headline: Option[(Long, Double, Long)] = None // docs, secs, bytes
     var repl = 4

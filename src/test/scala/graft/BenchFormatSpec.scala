@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench artifact format the DRIVER depends on (VERDICT r03
+  * task 1): the JSON line must parse, and `gate_summary` — carrying the
+  * headline and the scaling-gate verdict — must be the LAST top-level
+  * key, because the driver captures only a 2,000-char TAIL of the line
+  * (r03's artifact lost its headline to exactly this: `value` was
+  * emitted first and truncated away).
+  */
+class BenchFormatSpec extends AnyFunSuite {
+
+  private def render(partial: Boolean): String = {
+    val st = Bench.State
+    st.sfDir = "/root/testdata/sf0.1"
+    st.headline = Some((20000L, 1.25, 360000000L))
+    st.queries = Seq("q_ok" -> Right(0.5), "q_bad" -> Left("boom: \"quoted\"\nline"))
+    st.toJson(partial)
+  }
+
+  test("bench JSON line parses and escapes control chars in errors") {
+    val json = render(partial = true)
+    val parsed = org.json4s.jackson.JsonMethods.parse(json) // throws on bad JSON
+    val fields = parsed.asInstanceOf[org.json4s.JObject].obj.map(_._1)
+    assert(fields.contains("gate_summary") && fields.contains("extract") &&
+      fields.contains("scaling_executors"))
+    assert(!json.contains("\n"), "the artifact must be ONE line")
+  }
+
+  test("gate_summary is the LAST key — the 2,000-char tail carries the gate") {
+    for (partial <- Seq(true, false)) {
+      val json = render(partial)
+      val fields = org.json4s.jackson.JsonMethods.parse(json)
+        .asInstanceOf[org.json4s.JObject].obj.map(_._1)
+      assert(fields.last == "gate_summary",
+        s"gate_summary must be the final top-level key, got ${fields.last}")
+      val tail = json.takeRight(2000)
+      assert(tail.contains("\"headline_docs_per_sec\""), "headline lost from tail")
+      assert(tail.contains("\"exec_gate_pass\""), "gate verdict lost from tail")
+      assert(tail.contains("\"thread_best_eff\""), "thread evidence lost from tail")
+    }
+  }
+}
