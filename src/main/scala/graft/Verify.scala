@@ -14,6 +14,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Oracle mode: the md5-slice hash family is the one the DuckDB SQL
+    // mirrors reproduce bit-for-bit (production default is xxhash64 —
+    // see graft.ops.HashFamily).
+    spark.conf.set(graft.ops.HashFamily.ConfKey, graft.ops.HashFamily.Md5Mirror.name)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -3,6 +3,62 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** Token/shingle hash family for the dedup + fingerprint operators
+  * (VERDICT r04 task 1). Two members with identical candidate/verdict
+  * semantics but different cost/verifiability trade-offs:
+  *
+  *  - [[HashFamily.Xx64]] — `xxhash64` (native, codegen'd): the PRODUCTION
+  *    default. At 100 TB the shingle hash is the dominant CPU of the dedup
+  *    stage, so the cheap non-cryptographic hash is the one that scales.
+  *  - [[HashFamily.Md5Mirror]] — md5-slice: bit-exactly mirrorable in
+  *    DuckDB (`('0x' || substr(md5(s), 1, k))::BIGINT`), engaged ONLY by
+  *    Verify (via the `graft.hash.family` session conf) so the t5/t6/t7/
+  *    t13 oracles keep full rows+schema+hash checks.
+  *
+  * Both families feed the SAME downstream pipeline (31-bit base → affine
+  * MinHash rehashes; 60-bit token hash → SimHash bit-vote), and
+  * DedupSpec pins that they produce identical planted dup/near-dup
+  * verdicts.
+  */
+sealed abstract class HashFamily(val name: String) {
+  /** SQL fragment: 31-bit non-negative base hash of string expression `e`
+    * (feeds the affine MinHash family and the t5 rolling fingerprint).
+    */
+  def base31Sql(e: String): String
+  /** SQL fragment: 60-bit non-negative token hash of string expression `e`
+    * (feeds the SimHash bit-vote).
+    */
+  def hash60Sql(e: String): String
+  /** Column form of [[base31Sql]]. */
+  def base31(c: Column): Column
+}
+
+object HashFamily {
+  case object Xx64 extends HashFamily("xx64") {
+    def base31Sql(e: String): String = s"(xxhash64($e) & 2147483647)"
+    def hash60Sql(e: String): String = s"(xxhash64($e) & 1152921504606846975)"
+    def base31(c: Column): Column = xxhash64(c).bitwiseAND(lit(0x7FFFFFFFL))
+  }
+  case object Md5Mirror extends HashFamily("md5") {
+    def base31Sql(e: String): String =
+      s"(CAST(conv(substring(md5($e), 1, 8), 16, 10) AS BIGINT) & 2147483647)"
+    def hash60Sql(e: String): String =
+      s"CAST(conv(substring(md5($e), 1, 15), 16, 10) AS BIGINT)"
+    def base31(c: Column): Column =
+      conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+        .bitwiseAND(lit(0x7FFFFFFFL))
+  }
+
+  /** Session conf key: "xx64" (default) or "md5" (set by Verify). */
+  val ConfKey = "graft.hash.family"
+
+  def of(spark: SparkSession): HashFamily =
+    spark.conf.get(ConfKey, Xx64.name) match {
+      case n if n == Md5Mirror.name => Md5Mirror
+      case _                        => Xx64
+    }
+}
+
 /** Deduplication operators for a large-scale training-data pipeline, over
   * `documents` (exact / MinHash+LSH / SimHash / n-gram Jaccard) and
   * `embeddings` (cosine near-dup).
@@ -15,13 +71,15 @@ import org.apache.spark.sql.functions._
   *    bucket-mates ever meet, never all-pairs. Identical-document floods
   *    (the classic LSH skew) are bounded because exact dedup runs first in
   *    a real pipeline; AQE skew-join handles the rest.
-  *  - simhash: per-row 64-bit signature (no shuffle), then the 4×16-bit
-  *    pigeonhole band join for hamming ≤ 3 — again equi-join, no all-pairs.
+  *  - simhash: per-row 60-bit signature (no shuffle), then the 4×15-bit
+  *    pigeonhole chunk join for hamming ≤ 3 — again equi-join, no all-pairs.
   *  - n-gram Jaccard: exact verification join on shared shingles; meant to
   *    run AFTER an LSH candidate filter at scale (here also standalone as
   *    its own oracle-checked operator).
   *  - embedding cosine: brute-force all-pairs is the small-scale baseline;
   *    the scale path is Similarity.annLsh (hyperplane buckets).
+  *  - token/shingle hashing: pluggable [[HashFamily]] — codegen'd xxhash64
+  *    in production, md5-slice under Verify for the DuckDB mirrors.
   */
 object Dedup {
 
@@ -29,15 +87,14 @@ object Dedup {
   val Bands = 16
   val RowsPerBand = 4 // 16 bands × 4 rows = 64 hashes; th ≈ (1/16)^(1/4) ≈ 0.5
 
-  /** MinHash family — DuckDB-expressible (VERDICT r03 task 2: r02's
-    * xxhash64 family had no DuckDB mirror, demoting t6 to rows-only).
-    * base(s) = 31-bit slice of md5(s); h_i = (a_i·base + b_i) mod p with
-    * p = 2³¹−1 (prime) and 31-bit constants — every product < 2⁶², so the
-    * arithmetic is overflow-free under ANSI mode in BOTH engines, and
-    * md5/substr/conv have exact DuckDB equivalents. The constants derive
-    * from a fixed splitmix64 chain and are inlined into both the Spark
-    * plan (literals) and the oracle SQL (VALUES list) from the same
-    * arrays.
+  /** MinHash affine family: base(s) = 31-bit hash of s (per the active
+    * [[HashFamily]] — codegen'd xxhash64 in production, md5-slice under
+    * Verify so the DuckDB oracle can reproduce it); h_i = (a_i·base + b_i)
+    * mod p with p = 2³¹−1 (prime) and 31-bit constants — every product
+    * < 2⁶², so the arithmetic is overflow-free under ANSI mode in BOTH
+    * engines. The constants derive from a fixed splitmix64 chain and are
+    * inlined into both the Spark plan (literals) and the oracle SQL
+    * (VALUES list) from the same arrays.
     */
   val MinhashP = 2147483647L
   private def splitmix(seed: Long): Long = {
@@ -79,27 +136,28 @@ object Dedup {
           .stripMargin.replace("\n", " "))
 
   /** 64-hash MinHash signature per document. The shingle string is hashed
-    * ONCE to a 31-bit base (the expensive md5 — native codegen'd), and
-    * the family is 64 affine rehashes of the base: h_i = (a_i·base + b_i)
+    * ONCE to a 31-bit base (per the active [[HashFamily]]), and the
+    * family is 64 affine rehashes of the base: h_i = (a_i·base + b_i)
     * mod p — 64 long-multiplies instead of 64 string-hashes per shingle,
-    * and exactly mirrorable in DuckDB (see MinhashA scaladoc).
+    * and exactly mirrorable in DuckDB under the Md5Mirror family (see
+    * MinhashA scaladoc).
     */
-  def minhashSignatures(df: DataFrame): DataFrame =
-    minhashSignaturesOnShingles(shingles(df))
+  def minhashSignatures(df: DataFrame,
+      fam: HashFamily = HashFamily.Xx64): DataFrame =
+    minhashSignaturesOnShingles(shingles(df), fam)
 
   /** Signature aggregation over a prebuilt (doc_id, shingle) relation —
     * lets a pipeline share ONE shingle pass between the signature stage
     * and the Jaccard verify stage (r03: the double shingle pass dominated
     * t13's runtime).
     */
-  def minhashSignaturesOnShingles(sh: DataFrame): DataFrame = {
+  def minhashSignaturesOnShingles(sh: DataFrame,
+      fam: HashFamily = HashFamily.Xx64): DataFrame = {
     val aggs: Seq[Column] = (0 until NumHashes).map { i =>
       min(pmod(lit(MinhashA(i)) * col("base") + lit(MinhashB(i)),
         lit(MinhashP))).as(s"h$i")
     }
-    sh.withColumn("base",
-        conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long")
-          .bitwiseAND(lit(0x7FFFFFFFL)))
+    sh.withColumn("base", fam.base31(col("shingle")))
       .groupBy(col("doc_id"))
       .agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"),
@@ -107,35 +165,56 @@ object Dedup {
   }
 
   /** MinHash + LSH banding: near-dup pairs with estimated Jaccard ≥ th. */
-  def minhashLsh(spark: SparkSession, sfDir: String, th: Double = 0.5): DataFrame =
-    minhashLshOn(docs(spark, sfDir), th)
+  def minhashLsh(spark: SparkSession, sfDir: String, th: Double = 0.5,
+      fam: HashFamily = HashFamily.Xx64): DataFrame =
+    minhashLshOn(docs(spark, sfDir), th, fam)
 
-  def minhashLshOn(docsDf: DataFrame, th: Double): DataFrame =
-    minhashLshOnShingles(shingles(docsDf), th)
+  def minhashLshOn(docsDf: DataFrame, th: Double,
+      fam: HashFamily = HashFamily.Xx64): DataFrame =
+    minhashLshOnShingles(shingles(docsDf), th, fam)
 
-  def minhashLshOnShingles(sh: DataFrame, th: Double): DataFrame = {
-    val sig = minhashSignaturesOnShingles(sh)
+  def minhashLshOnShingles(sh: DataFrame, th: Double,
+      fam: HashFamily = HashFamily.Xx64): DataFrame = {
+    // The signature relation is referenced four times below (banding ×2,
+    // sig-fetch joins ×2) and Spark's ReuseExchange does NOT deduplicate
+    // the subtrees (r05 profile: 4 full shingle-scan+aggregation passes,
+    // ~3× the single-pass cost). Signatures are 1 row/doc × ~520 B —
+    // negligible next to the corpus — so materialize them ONCE:
+    // localCheckpoint here; a persisted signature table at real scale
+    // (the standard shape for production MinHash pipelines).
+    val sig = minhashSignaturesOnShingles(sh, fam).localCheckpoint()
     // Band key = the 4 band values verbatim (comma-joined) rather than a
     // hash of them: byte-exact in the DuckDB mirror, and collision-free.
     // At 100 TB you'd re-hash this ~44-byte key to a long before the
     // shuffle (a band-hash collision is harmless — est_jaccard verifies);
     // here exactness wins because the oracle must reproduce candidates.
+    //
+    // The band self-join carries ONLY (band_idx, band_key, doc_id) — the
+    // 64-long signature arrays (~512 B/row) stay OUT of the banding
+    // shuffle and the pair-dedup shuffle (r05: carrying them measured
+    // ~40% of t6's wall time; at 100 TB they'd multiply the job's widest
+    // shuffle by ~10×). Signatures are joined back onto the (small)
+    // surviving pair set afterwards; the three uses of `sig` below are
+    // identical subplans, so ReuseExchange materializes the signature
+    // aggregation once (pinned by DedupSpec's plan check).
     val banded = sig.selectExpr(
-      "doc_id", "sig",
+      "doc_id",
       s"""posexplode(transform(sequence(0, ${Bands - 1}),
          | b -> concat_ws(',', transform(slice(sig, b * $RowsPerBand + 1, $RowsPerBand),
          |                               v -> cast(v AS string)))))"""
         .stripMargin.replace("\n", " "))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_hash")
-    val a = banded.select(col("band_idx"), col("band_hash"),
-      col("doc_id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band_idx"), col("band_hash"),
-      col("doc_id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band_idx", "band_hash"))
+    val pairs = banded.select(col("band_idx"), col("band_hash"),
+        col("doc_id").as("id_a"))
+      .join(banded.select(col("band_idx"), col("band_hash"),
+        col("doc_id").as("id_b")), Seq("band_idx", "band_hash"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+    pairs
+      .join(sig.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sig.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .selectExpr("id_a", "id_b",
         s"round(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / $NumHashes.0D, 4) AS est_jaccard")
       .filter(col("est_jaccard") >= th)
@@ -145,6 +224,9 @@ object Dedup {
     * in DuckDB: the first 15 hex chars of the md5 digest are bytes 0..6
     * plus the HIGH nibble of byte 7 (VERDICT r03 task 2 follow-on — the
     * r02 murmur3 family had no DuckDB mirror, demoting t7 to rows-only).
+    * Kept as the reference implementation for the spec pinning that the
+    * SQL-side `conv(substring(md5(t), 1, 15), 16, 10)` path (which the
+    * Md5Mirror family now uses) is bit-identical.
     */
   def md5Hash60(digest: java.security.MessageDigest, token: String): Long = {
     digest.reset()
@@ -155,35 +237,36 @@ object Dedup {
     (v << 4) | ((d(7) & 0xffL) >>> 4)
   }
 
-  /** SimHash 60-bit signature — genuinely imperative bit loop, so it runs
-    * as a typed mapPartitions (per-row, narrow, no shuffle; one
-    * MessageDigest per partition). Duplicate tokens vote repeatedly, as
-    * in the classic formulation. Zero-token documents are excluded: they
-    * carry no signal, and the all-zero signature would otherwise pair
-    * every empty doc with every doc whose low chunk happens to be 0.
+  /** SimHash 60-bit signature. Token hashing happens SQL-side per the
+    * active [[HashFamily]] (codegen'd xxhash64 in production; md5-slice
+    * under Verify — bit-identical to [[md5Hash60]]); the bit-vote is a
+    * genuinely imperative loop, so it runs as a typed mapPartitions over
+    * the pre-hashed token arrays (per-row, narrow, no shuffle).
+    * Duplicate tokens vote repeatedly, as in the classic formulation.
+    * Zero-token documents are excluded: they carry no signal, and the
+    * all-zero signature would otherwise pair every empty doc with every
+    * doc whose low chunk happens to be 0.
     */
-  def simhashes(spark: SparkSession, sfDir: String): DataFrame = {
+  def simhashes(spark: SparkSession, sfDir: String,
+      fam: HashFamily = HashFamily.Xx64): DataFrame = {
     import spark.implicits._
     docs(spark, sfDir)
-      .select("doc_id", "text")
-      .as[(Long, String)]
+      .selectExpr("doc_id",
+        s"""transform(filter(split(text, '\\\\s+'), x -> x != ''),
+           | t -> ${fam.hash60Sql("t")}) AS hs""".stripMargin.replace("\n", " "))
+      .as[(Long, Seq[Long])]
       .mapPartitions { it =>
-        val digest = java.security.MessageDigest.getInstance("MD5")
-        it.flatMap { case (id, text) =>
-          val acc = new Array[Int](60)
-          var n = 0
-          val iter = text.split("\\s+").iterator.filter(_.nonEmpty)
-          while (iter.hasNext) {
-            val h = md5Hash60(digest, iter.next())
-            n += 1
-            var b = 0
-            while (b < 60) {
-              if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
-              b += 1
-            }
-          }
-          if (n == 0) None
+        it.flatMap { case (id, hs) =>
+          if (hs.isEmpty) None
           else {
+            val acc = new Array[Int](60)
+            hs.foreach { h =>
+              var b = 0
+              while (b < 60) {
+                if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+                b += 1
+              }
+            }
             var out = 0L
             var b = 0
             while (b < 60) { if (acc(b) > 0) out |= (1L << b); b += 1 }
@@ -197,8 +280,12 @@ object Dedup {
   /** SimHash near-dup: pigeonhole band join (4 × 15-bit chunks ⇒ any pair
     * within hamming ≤ 3 shares ≥ 1 chunk), then exact hamming filter.
     */
-  def simhashDedup(spark: SparkSession, sfDir: String, maxHamming: Int = 3): DataFrame = {
-    val sh = simhashes(spark, sfDir)
+  def simhashDedup(spark: SparkSession, sfDir: String, maxHamming: Int = 3,
+      fam: HashFamily = HashFamily.Xx64): DataFrame = {
+    // chunked is referenced twice (both join sides) — materialize the
+    // 1-row-per-doc signature relation so the token-hash + bit-vote pass
+    // runs once (same rationale as minhashLshOnShingles).
+    val sh = simhashes(spark, sfDir, fam).localCheckpoint()
     val chunked = sh.selectExpr("doc_id", "simhash",
       "posexplode(transform(sequence(0, 3), c -> (simhash >> (c * 15)) & 32767))")
       .withColumnRenamed("pos", "chunk_idx")
@@ -237,16 +324,68 @@ object Dedup {
       maxDf: Int = DefaultMaxShingleDf): DataFrame =
     ngramJaccardOnShingles(shingles(docsDf), th, maxDf)
 
-  def ngramJaccardOnShingles(sh: DataFrame, th: Double,
-      maxDf: Int = DefaultMaxShingleDf): DataFrame = {
+  /** df-capped distinct (doc_id, shingle) relation: shingles with
+    * document frequency > maxDf removed via a broadcast anti-join (the
+    * hot set is tiny by construction). Exposed pre-materialization so
+    * DedupSpec can pin the broadcast-anti-join plan shape (the
+    * localCheckpoint in [[ngramJaccardOnShingles]] truncates it out of
+    * the downstream executed plan).
+    */
+  def cappedShingles(sh: DataFrame, maxDf: Int): DataFrame = {
     val s0 = sh.dropDuplicates("doc_id", "shingle")
     val hot = s0.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select("shingle")
-    val s = s0.join(broadcast(hot), Seq("shingle"), "left_anti")
+    s0.join(broadcast(hot), Seq("shingle"), "left_anti")
+  }
+
+  def ngramJaccardOnShingles(sh: DataFrame, th: Double,
+      maxDf: Int = DefaultMaxShingleDf): DataFrame = {
+    // The capped relation is referenced three times (sizes + both join
+    // sides) and the shingle explode is NOT exchange-reused across them
+    // (see minhashLshOnShingles): materialize the df-capped shingle
+    // relation once. At real scale this is the persisted shingle table
+    // every production dedup pipeline stages anyway.
+    val s = cappedShingles(sh, maxDf).localCheckpoint()
     val sizes = s.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val common = s.select(col("doc_id").as("id_a"), col("shingle"))
       .join(s.select(col("doc_id").as("id_b"), col("shingle")), Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        round(col("common") / (col("sz_a") + col("sz_b") - col("common")), 4))
+      .filter(col("jaccard") >= th)
+      .select(col("id_a"), col("id_b"), col("common"), col("jaccard"))
+  }
+
+  /** Exact df-capped Jaccard for a GIVEN pair set — the verification
+    * stage of the composite pipeline (r05). The standalone self-join
+    * ([[ngramJaccardOnShingles]]) computes Jaccard for every co-shingle
+    * pair among the input docs; running that over LSH candidate DOCS is
+    * quadratic in near-dup cluster size (candidate docs share most of
+    * their shingles by construction — profiled at 8 s vs 4 s for the
+    * whole corpus at sf0.1, and unboundedly worse at 100 TB where one
+    * template cluster can hold 10⁶ docs). Here the shingle join is keyed
+    * by the PAIR list instead: cost ∝ candidates × shingles-per-doc,
+    * independent of cluster size.
+    *
+    * Semantics are identical to `standalone-jaccard ∩ pairs` over the
+    * same doc set (same shingle space, same df cap, same denominators),
+    * so the t13 DuckDB oracle — which mirrors the all-pairs-then-
+    * semi-join formulation — is unchanged.
+    */
+  def jaccardForPairs(pairs: DataFrame, docsDf: DataFrame, th: Double,
+      maxDf: Int = DefaultMaxShingleDf): DataFrame = {
+    // Candidate docs are a small subset of the corpus, so recomputing the
+    // capped shingle relation per reference is cheap — no checkpoint here.
+    val s = cappedShingles(shingles(docsDf), maxDf)
+    val sizes = s.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val common = pairs
+      .join(s.select(col("doc_id").as("id_a"), col("shingle")), Seq("id_a"))
+      .join(s.select(col("doc_id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("common"))
     common
@@ -352,7 +491,8 @@ object Dedup {
     * realistic dup rates) — never an all-pairs product.
     */
   def dedupPipeline(spark: SparkSession, sfDir: String,
-      estTh: Double = 0.5, jaccardTh: Double = 0.8): DataFrame = {
+      estTh: Double = 0.5, jaccardTh: Double = 0.8,
+      fam: HashFamily = HashFamily.Xx64): DataFrame = {
     val d = docs(spark, sfDir).select("doc_id", "text")
     val groups = d.groupBy(sha2(col("text"), 256).as("h"))
       .agg(min(col("doc_id")).as("keep_id"))
@@ -363,12 +503,19 @@ object Dedup {
       .filter(col("doc_id") =!= col("keep_id"))
       .select(col("doc_id"), lit("exact-dup").as("status"), col("keep_id").as("dup_of"))
     // survivors feeds three branches (candidates, verification, keep-list);
-    // cache so the exact-dedup stage isn't recomputed per branch (at real
-    // scale this is a persisted intermediate table)
+    // localCheckpoint (not cache) so the exact-dedup stage isn't recomputed
+    // per branch AND the logical plan is truncated at this point: .cache()
+    // keeps the full logical subtree, and because every downstream stage
+    // references survivors/candidates several times, the t13 plan tree
+    // grew combinatorially (r05 profile: 576 parquet-scan nodes, ~5 s of
+    // DRIVER-SIDE planning per action — the real cause of the r04 t13
+    // regression and its 82 s cold-driver outlier, not the md5 hash).
+    // At real scale this is a persisted intermediate table (reliable
+    // checkpoint / Iceberg staging table), which truncates the same way.
     val survivors = withKeeper
       .filter(col("doc_id") === col("keep_id"))
       .select("doc_id", "text")
-      .cache()
+      .localCheckpoint()
     // NB the shingle relation is deliberately NOT cached/shared between
     // the signature and verify stages: r03 measured sharing it (cache of
     // the exploded ~n×1.5k-row relation) at 4× SLOWER than recomputing —
@@ -376,13 +523,18 @@ object Dedup {
     // explodes only the (small) candidate-doc subset, and materializing
     // the full exploded relation breaks the fused explode→partial-agg
     // pipeline. Recompute wins at every scale where candidates ≪ corpus.
-    val candidates = minhashLshOn(survivors, estTh).select("id_a", "id_b").cache()
-    val verified = ngramJaccardOn(
-      survivors.join(
+    val candidates = minhashLshOn(survivors, estTh, fam)
+      .select("id_a", "id_b").localCheckpoint()
+    // Verification is PAIR-restricted (jaccardForPairs): the r04 shape
+    // (standalone all-pairs jaccard over candidate docs, then semi-join)
+    // was quadratic in near-dup cluster size — see jaccardForPairs doc.
+    val verified = jaccardForPairs(
+      pairs = candidates,
+      docsDf = survivors.join(
         candidates.selectExpr("id_a AS doc_id")
           .union(candidates.selectExpr("id_b AS doc_id")).distinct(),
-        Seq("doc_id")), th = jaccardTh)
-      .join(candidates, Seq("id_a", "id_b"), "left_semi")
+        Seq("doc_id")),
+      th = jaccardTh)
     val nearRemoved = verified
       .select(greatest(col("id_a"), col("id_b")).as("doc_id"),
         least(col("id_a"), col("id_b")).as("dup_of"))
@@ -396,13 +548,18 @@ object Dedup {
       .unionByName(removed)
   }
 
+  /** The hash-touching queries resolve their [[HashFamily]] from the
+    * session conf at plan time: Bench and normal use get the codegen'd
+    * xxhash64 production family; Verify sets `graft.hash.family=md5` so
+    * the results match the md5-based DuckDB oracles bit-for-bit.
+    */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_exact_dedup" -> ((s, d) => exact(s, d)),
-    "t6_minhash_lsh" -> ((s, d) => minhashLsh(s, d)),
-    "t7_simhash_dedup" -> ((s, d) => simhashDedup(s, d)),
+    "t6_minhash_lsh" -> ((s, d) => minhashLsh(s, d, fam = HashFamily.of(s))),
+    "t7_simhash_dedup" -> ((s, d) => simhashDedup(s, d, fam = HashFamily.of(s))),
     "t8_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
     "t9_embed_cosine_dups" -> ((s, d) => embeddingCosine(s, d)),
-    "t13_dedup_pipeline" -> ((s, d) => dedupPipeline(s, d))
+    "t13_dedup_pipeline" -> ((s, d) => dedupPipeline(s, d, fam = HashFamily.of(s)))
   )
 
   /** Shared DuckDB CTE prefix: tokens → distinct (doc_id, shingle). */

@@ -74,18 +74,20 @@ object TextOps {
   }
 
   /** Document fingerprint: order-sensitive rolling hash over tokens
-    * (affine accumulate mod 2³¹−1 of md5-slice token hashes — the same
-    * DuckDB-expressible family as Dedup's MinHash, r04: xxhash64 had no
-    * DuckDB mirror so t5 was rows-only) + an order-free bag hash (XOR of
-    * the token hashes). The affine step (a·acc + h) keeps every product
+    * (affine accumulate mod 2³¹−1 of 31-bit token hashes — the same
+    * pluggable [[graft.ops.HashFamily]] as Dedup's MinHash: codegen'd
+    * xxhash64 in production, md5-slice under Verify so the DuckDB mirror
+    * reproduces it bit-for-bit) + an order-free bag hash (XOR of the
+    * token hashes). The affine step (a·acc + h) keeps every product
     * under 2⁶² — overflow-free under ANSI in both engines.
     */
   val FpMul = 1103515245L // 31-bit multiplier (classic LCG constant)
 
-  def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+  def fingerprint(spark: SparkSession, sfDir: String,
+      fam: HashFamily = HashFamily.Xx64): DataFrame =
     docs(spark, sfDir)
       .selectExpr("doc_id",
-        s"transform($Toks, t -> CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) & 2147483647) AS hs")
+        s"transform($Toks, t -> ${fam.base31Sql("t")}) AS hs")
       .selectExpr(
         "doc_id",
         s"aggregate(hs, CAST(0 AS BIGINT), (acc, x) -> pmod($FpMul * acc + x, ${Dedup.MinhashP})) AS rolling_fp",
@@ -127,7 +129,7 @@ object TextOps {
     "t2_token_count" -> ((s, d) => tokenCount(s, d)),
     "t3_quality_score" -> ((s, d) => qualityScore(s, d)),
     "t4_lang_id" -> ((s, d) => langId(s, d)),
-    "t5_fingerprint" -> ((s, d) => fingerprint(s, d)),
+    "t5_fingerprint" -> ((s, d) => fingerprint(s, d, fam = HashFamily.of(s))),
     "t15_repetition" -> ((s, d) => repetition(s, d))
   )
 

@@ -1,0 +1,102 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, HashFamily}
+
+/** Stage-by-stage profile of the MinHash/Jaccard dedup family (the most
+  * expensive non-kernel queries): isolates shingle explode, signature
+  * aggregation, banding, and the candidate join, per hash family, so a
+  * wall-time regression is attributable to a stage instead of guessed at
+  * (VERDICT r04 "what's wrong" #1/#2).
+  *
+  *   DedupProfileCli <sfDir> [cores] [fam]
+  */
+object DedupProfileCli {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val cores = if (args.length > 1) args(1) else "32"
+    val fam = if (args.length > 2 && args(2) == "md5") HashFamily.Md5Mirror
+              else HashFamily.Xx64
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def timed(name: String)(f: => Long): Unit = {
+      f // warmup
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        f
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"STAGE $name%-24s best ${times.min}%6.2f s  med ${times.sorted.apply(1)}%6.2f s")
+    }
+
+    val docs = Dedup.docs(spark, sfDir).select("doc_id", "text")
+    timed("scan")(docs.count())
+    timed("tokens") {
+      docs.selectExpr("doc_id",
+        "size(filter(split(text, '\\\\s+'), x -> x != '')) AS n").agg(sum("n")).count()
+    }
+    val sh = Dedup.shingles(docs)
+    timed("shingles")(sh.count())
+    timed("base_hash") {
+      sh.withColumn("base", fam.base31(col("shingle"))).agg(sum("base")).count()
+    }
+    timed("signatures")(Dedup.minhashSignaturesOnShingles(sh, fam).count())
+    timed("t6_full")(Dedup.minhashLshOnShingles(sh, th = 0.5, fam).count())
+    locally {
+      val q = Dedup.minhashLshOnShingles(sh, th = 0.5, fam)
+      q.count()
+      val p = q.queryExecution.executedPlan.toString
+      println(s"T6PLAN scans=${"Scan parquet|FileScan parquet".r.findAllIn(p).length} " +
+        s"reused=${"ReusedExchange".r.findAllIn(p).length} " +
+        s"exchanges=${"Exchange hashpartitioning".r.findAllIn(p).length} " +
+        s"aqe=${"AdaptiveSparkPlan".r.findAllIn(p).length}")
+    }
+    timed("t8_jaccard")(Dedup.ngramJaccardOnShingles(sh, th = 0.05).count())
+    timed("t13_pipeline")(Dedup.dedupPipeline(spark, sfDir, fam = fam).count())
+
+    // t13 sub-stage attribution (throwaway probe)
+    {
+      val d = docs
+      val groups = d.groupBy(sha2(col("text"), 256).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"))
+      val withKeeper = d.withColumn("h", sha2(col("text"), 256)).join(groups, "h")
+      timed("p_exact")(withKeeper.count())
+      val survivors = withKeeper.filter(col("doc_id") === col("keep_id"))
+        .select("doc_id", "text").cache()
+      timed("p_survivors")(survivors.count())
+      val candidates = Dedup.minhashLshOn(survivors, 0.5, fam).select("id_a", "id_b").cache()
+      timed("p_candidates")(candidates.count())
+      val candDocs = survivors.join(
+        candidates.selectExpr("id_a AS doc_id")
+          .union(candidates.selectExpr("id_b AS doc_id")).distinct(), Seq("doc_id"))
+      timed("p_cand_docs")(candDocs.count())
+      println(s"COUNT candidates=${candidates.count()} candDocs=${candDocs.count()} survivors=${survivors.count()}")
+      timed("p_verify_old") {
+        Dedup.ngramJaccardOn(candDocs, th = 0.8)
+          .join(candidates, Seq("id_a", "id_b"), "left_semi").count()
+      }
+      timed("p_verify_new")(Dedup.jaccardForPairs(candidates, candDocs, th = 0.8).count())
+      val vPlan = Dedup.jaccardForPairs(candidates, candDocs, th = 0.8)
+        .queryExecution.executedPlan.toString
+      println(s"PLANCHECK InMemoryTableScan x${"InMemoryTableScan".r.findAllIn(vPlan).length}, " +
+        s"parquetScans x${"FileScan parquet|Scan parquet".r.findAllIn(vPlan).length}")
+      println(vPlan.linesIterator.filter(l => l.contains("Scan") || l.contains("Exchange")).mkString("\n"))
+      // isolate: same inputs via parquet (no cache/lineage dependency)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-prof").toString
+      candidates.write.parquet(s"$tmp/cand")
+      candDocs.write.parquet(s"$tmp/docs")
+      val candP = spark.read.parquet(s"$tmp/cand")
+      val docsP = spark.read.parquet(s"$tmp/docs")
+      timed("p_verify_isolated")(Dedup.jaccardForPairs(candP, docsP, th = 0.8).count())
+    }
+    spark.stop()
+  }
+}

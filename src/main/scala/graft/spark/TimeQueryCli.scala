@@ -20,6 +20,9 @@ object TimeQueryCli {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // GRAFT_HASH_FAMILY=md5 times the Verify-mode hash family (A/B vs xx64)
+    sys.env.get("GRAFT_HASH_FAMILY")
+      .foreach(spark.conf.set(graft.ops.HashFamily.ConfKey, _))
     val fn = graft.SparkEntry.queries(name)
     if (doExplain) fn(spark, sfDir).explain("formatted")
     (1 to reps).foreach { i =>

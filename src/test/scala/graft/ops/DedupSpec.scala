@@ -97,8 +97,13 @@ class DedupSpec extends SparkSpec {
     assert(uncapped == 435L, s"expected the full k² flood without a cap, got $uncapped")
     val capped = Dedup.ngramJaccard(spark, dir, th = 0.05, maxDf = 10)
     assert(capped.count() == 0L, "df cap should remove the only shared shingle")
-    // the hot-list anti-join must broadcast (tiny by construction)
-    val plan = capped.queryExecution.executedPlan.toString
+    // the hot-list anti-join must broadcast (tiny by construction). It is
+    // inspected on the pre-materialization relation: ngramJaccard
+    // localCheckpoints the capped shingles, which truncates the anti-join
+    // out of the downstream executed plan.
+    val plan = Dedup.cappedShingles(
+        Dedup.shingles(spark.read.parquet(s"$dir/documents.parquet")), 10)
+      .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
       s"hot-shingle filter should be a broadcast anti-join:\n$plan")
   }
@@ -229,6 +234,53 @@ class DedupSpec extends SparkSpec {
     assert(rows(3L) == (("kept", None)))
     assert(rows(4L) == (("kept", None)))
     assert(rows.size == 5)
+  }
+
+  test("hash families: xx64 (production) and md5 (Verify) find identical planted verdicts") {
+    // VERDICT r04 task 1: the pluggable family must not change SEMANTICS —
+    // both the codegen'd xxhash64 default and the DuckDB-mirrorable
+    // md5-slice family must find the same dup/near-dup structure on the
+    // planted corpus, across all three hash-touching operators.
+    for (fam <- Seq(HashFamily.Xx64, HashFamily.Md5Mirror)) {
+      val lsh = Dedup.minhashLsh(spark, plantedDir, th = 0.5, fam = fam)
+        .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+      assert(lsh == Set((0L, 1L), (0L, 2L), (1L, 2L)), s"minhash $fam: $lsh")
+      // exact dup pair estimates 1.0 under ANY family (identical sigs)
+      val est = Dedup.minhashLsh(spark, plantedDir, th = 0.5, fam = fam)
+        .collect().find(r => r.getAs[Long]("id_a") == 0L && r.getAs[Long]("id_b") == 1L)
+        .get.getAs[Double]("est_jaccard")
+      assert(est == 1.0, s"$fam exact-pair estimate: $est")
+      val sh = Dedup.simhashDedup(spark, plantedDir, maxHamming = 3, fam = fam)
+        .collect().map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")), r.getAs[Long]("hamming")))
+      assert(sh.exists(p => p._1 == ((0L, 1L)) && p._2 == 0L), s"simhash $fam: ${sh.toSeq}")
+      assert(!sh.exists(p => p._1._1 == 3L || p._1._2 == 3L), s"simhash $fam paired the distinct doc")
+      val pipe = Dedup.dedupPipeline(spark, plantedDir, fam = fam)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+      assert(pipe == Map(0L -> "kept", 1L -> "exact-dup", 2L -> "near-dup",
+        3L -> "kept", 4L -> "kept"), s"pipeline $fam: $pipe")
+    }
+  }
+
+  test("md5 family SQL path is bit-identical to the md5Hash60 reference impl") {
+    // The Md5Mirror family moved t7's token hashing from a JVM
+    // MessageDigest loop into SQL (conv(substring(md5(t), 1, 15), 16, 10));
+    // pin that the two produce the same 60-bit values, so the DuckDB
+    // oracle ('0x' || substr(md5(t), 1, 15))::BIGINT stays in sync.
+    val s = spark
+    import s.implicits._
+    val tokens = Seq("alpha", "Bücher", "日本語", "x", "", "of the and",
+      "1234567890", "ünïcödé-tökèn")
+    val sql = tokens.toDF("t")
+      .selectExpr(HashFamily.Md5Mirror.hash60Sql("t") + " AS h")
+      .collect().map(_.getLong(0))
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    val ref = tokens.map(Dedup.md5Hash60(digest, _))
+    assert(sql.toSeq == ref, s"sql=${sql.toSeq} ref=$ref")
+    // and the xx64 family matches Spark's own xxhash64 masked to 60 bits
+    val xx = tokens.toDF("t")
+      .selectExpr(HashFamily.Xx64.hash60Sql("t") + " AS h", "xxhash64(t) & 1152921504606846975 AS e")
+      .collect()
+    assert(xx.forall(r => r.getLong(0) == r.getLong(1)))
   }
 
   test("media features: deterministic decode (real png/wav paths) with stable schema") {
