@@ -31,6 +31,15 @@ sealed abstract class HashFamily(val name: String) {
   def hash60Sql(e: String): String
   /** Column form of [[base31Sql]]. */
   def base31(c: Column): Column
+  /** SQL fragment: LSH band join key from string expression `e` (the
+    * comma-joined band values). Production re-hashes it to a long — the
+    * standard trick that shrinks the widest dedup shuffle key from ~44
+    * bytes to 8 (a collision only ADDS a candidate pair, and est_jaccard
+    * is computed from the true signatures, so verdicts are unaffected).
+    * The mirror family keeps the string verbatim: the DuckDB oracle must
+    * reproduce the exact candidate set, and DuckDB has no xxhash64.
+    */
+  def bandKeySql(e: String): String
 }
 
 object HashFamily {
@@ -38,6 +47,7 @@ object HashFamily {
     def base31Sql(e: String): String = s"(xxhash64($e) & 2147483647)"
     def hash60Sql(e: String): String = s"(xxhash64($e) & 1152921504606846975)"
     def base31(c: Column): Column = xxhash64(c).bitwiseAND(lit(0x7FFFFFFFL))
+    def bandKeySql(e: String): String = s"xxhash64($e)"
   }
   case object Md5Mirror extends HashFamily("md5") {
     def base31Sql(e: String): String =
@@ -47,6 +57,7 @@ object HashFamily {
     def base31(c: Column): Column =
       conv(substring(md5(c), 1, 8), 16, 10).cast("long")
         .bitwiseAND(lit(0x7FFFFFFFL))
+    def bandKeySql(e: String): String = e
   }
 
   /** Session conf key: "xx64" (default) or "md5" (set by Verify). */
@@ -183,34 +194,40 @@ object Dedup {
     // localCheckpoint here; a persisted signature table at real scale
     // (the standard shape for production MinHash pipelines).
     val sig = minhashSignaturesOnShingles(sh, fam).localCheckpoint()
-    // Band key = the 4 band values verbatim (comma-joined) rather than a
-    // hash of them: byte-exact in the DuckDB mirror, and collision-free.
-    // At 100 TB you'd re-hash this ~44-byte key to a long before the
-    // shuffle (a band-hash collision is harmless — est_jaccard verifies);
-    // here exactness wins because the oracle must reproduce candidates.
+    // Band key per the family (HashFamily.bandKeySql): an 8-byte long in
+    // production, the comma-joined values verbatim under the mirror (the
+    // oracle must reproduce the exact candidate set).
     //
-    // The band self-join carries ONLY (band_idx, band_key, doc_id) — the
-    // 64-long signature arrays (~512 B/row) stay OUT of the banding
-    // shuffle and the pair-dedup shuffle (r05: carrying them measured
-    // ~40% of t6's wall time; at 100 TB they'd multiply the job's widest
-    // shuffle by ~10×). Signatures are joined back onto the (small)
-    // surviving pair set afterwards; the three uses of `sig` below are
-    // identical subplans, so ReuseExchange materializes the signature
-    // aggregation once (pinned by DedupSpec's plan check).
+    // Candidate generation is ONE narrow shuffle: group the exploded
+    // (band_idx, band_key, doc_id) rows by band bucket and expand i<j
+    // pairs within each bucket — half the shuffled bytes of the
+    // equivalent self-join (which exchanges the banded relation twice),
+    // with the identical pair set. The shuffle carries ONLY (band_idx,
+    // band_key, doc_id) — the 64-long signature arrays (~512 B/row) stay
+    // OUT of the banding shuffle and the pair-dedup shuffle (r05:
+    // carrying them measured ~40% of t6's wall time; at 100 TB they'd
+    // multiply the job's widest shuffle by ~10×). Signatures are joined
+    // back onto the (small) surviving pair set afterwards. A flood
+    // bucket of k identical docs costs k²/2 pair rows exactly as the
+    // self-join would; the composite pipeline runs exact dedup first,
+    // which removes that mass.
     val banded = sig.selectExpr(
       "doc_id",
       s"""posexplode(transform(sequence(0, ${Bands - 1}),
-         | b -> concat_ws(',', transform(slice(sig, b * $RowsPerBand + 1, $RowsPerBand),
-         |                               v -> cast(v AS string)))))"""
+         | b -> ${fam.bandKeySql(
+                  s"concat_ws(',', transform(slice(sig, b * $RowsPerBand + 1, $RowsPerBand), v -> cast(v AS string)))")}))"""
         .stripMargin.replace("\n", " "))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_hash")
-    val pairs = banded.select(col("band_idx"), col("band_hash"),
-        col("doc_id").as("id_a"))
-      .join(banded.select(col("band_idx"), col("band_hash"),
-        col("doc_id").as("id_b")), Seq("band_idx", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+    val pairs = banded
+      .groupBy(col("band_idx"), col("band_hash"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .selectExpr(
+        """inline(flatten(transform(sequence(0, size(ids) - 2),
+          |  i -> transform(slice(ids, i + 2, size(ids) - i - 1),
+          |       x -> struct(ids[i] AS id_a, x AS id_b)))))"""
+          .stripMargin.replace("\n", " "))
       .dropDuplicates("id_a", "id_b")
     pairs
       .join(sig.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
@@ -290,13 +307,19 @@ object Dedup {
       "posexplode(transform(sequence(0, 3), c -> (simhash >> (c * 15)) & 32767))")
       .withColumnRenamed("pos", "chunk_idx")
       .withColumnRenamed("col", "chunk_val")
-    val a = chunked.select(col("chunk_idx"), col("chunk_val"),
-      col("doc_id").as("id_a"), col("simhash").as("sh_a"))
-    val b = chunked.select(col("chunk_idx"), col("chunk_val"),
-      col("doc_id").as("id_b"), col("simhash").as("sh_b"))
-    a.join(b, Seq("chunk_idx", "chunk_val"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
+    // One narrow shuffle instead of a chunk self-join (same rationale and
+    // identical pair set as minhashLshOnShingles' bucket expansion); the
+    // signature is a single long, cheap to carry through the bucket.
+    chunked
+      .groupBy(col("chunk_idx"), col("chunk_val"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .selectExpr(
+        """inline(flatten(transform(sequence(0, size(ds) - 2),
+          |  i -> transform(slice(ds, i + 2, size(ds) - i - 1),
+          |       x -> struct(ds[i].doc_id AS id_a, x.doc_id AS id_b,
+          |                   ds[i].simhash AS sh_a, x.simhash AS sh_b)))))"""
+          .stripMargin.replace("\n", " "))
       .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
@@ -540,7 +563,10 @@ object Dedup {
         least(col("id_a"), col("id_b")).as("dup_of"))
       .groupBy(col("doc_id")).agg(min(col("dup_of")).as("dup_of"))
       .select(col("doc_id"), lit("near-dup").as("status"), col("dup_of"))
-    val removed = exactRemoved.unionByName(nearRemoved)
+    // removed is referenced twice (the keep-list anti-join AND the final
+    // union) — without materialization the whole verification stage runs
+    // twice. It is tiny (dup rows only), so checkpoint it.
+    val removed = exactRemoved.unionByName(nearRemoved).localCheckpoint()
     d.select("doc_id")
       .join(removed, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), lit("kept").as("status"),

@@ -62,40 +62,36 @@ object DedupProfileCli {
     timed("t8_jaccard")(Dedup.ngramJaccardOnShingles(sh, th = 0.05).count())
     timed("t13_pipeline")(Dedup.dedupPipeline(spark, sfDir, fam = fam).count())
 
-    // t13 sub-stage attribution (throwaway probe)
+    // t13 sub-stage attribution — mirrors the ACTUAL dedupPipeline shape
+    // (localCheckpoint materialization, pair-keyed verification)
     {
       val d = docs
       val groups = d.groupBy(sha2(col("text"), 256).as("h"))
         .agg(min(col("doc_id")).as("keep_id"))
       val withKeeper = d.withColumn("h", sha2(col("text"), 256)).join(groups, "h")
       timed("p_exact")(withKeeper.count())
+      val t0s = System.nanoTime()
       val survivors = withKeeper.filter(col("doc_id") === col("keep_id"))
-        .select("doc_id", "text").cache()
-      timed("p_survivors")(survivors.count())
-      val candidates = Dedup.minhashLshOn(survivors, 0.5, fam).select("id_a", "id_b").cache()
-      timed("p_candidates")(candidates.count())
+        .select("doc_id", "text").localCheckpoint()
+      println(f"CKPT  survivors ${(System.nanoTime() - t0s) / 1e9}%6.2f s")
+      val t0c = System.nanoTime()
+      val candidates = Dedup.minhashLshOn(survivors, 0.5, fam)
+        .select("id_a", "id_b").localCheckpoint()
+      println(f"CKPT  candidates ${(System.nanoTime() - t0c) / 1e9}%6.2f s")
       val candDocs = survivors.join(
         candidates.selectExpr("id_a AS doc_id")
           .union(candidates.selectExpr("id_b AS doc_id")).distinct(), Seq("doc_id"))
       timed("p_cand_docs")(candDocs.count())
       println(s"COUNT candidates=${candidates.count()} candDocs=${candDocs.count()} survivors=${survivors.count()}")
-      timed("p_verify_old") {
-        Dedup.ngramJaccardOn(candDocs, th = 0.8)
-          .join(candidates, Seq("id_a", "id_b"), "left_semi").count()
+      timed("p_verify_pairs")(Dedup.jaccardForPairs(candidates, candDocs, th = 0.8).count())
+      val verified = Dedup.jaccardForPairs(candidates, candDocs, th = 0.8)
+      val nearRemoved = verified
+        .select(greatest(col("id_a"), col("id_b")).as("doc_id"),
+          least(col("id_a"), col("id_b")).as("dup_of"))
+        .groupBy(col("doc_id")).agg(min(col("dup_of")).as("dup_of"))
+      timed("p_assembly") {
+        d.select("doc_id").join(nearRemoved, Seq("doc_id"), "left_anti").count()
       }
-      timed("p_verify_new")(Dedup.jaccardForPairs(candidates, candDocs, th = 0.8).count())
-      val vPlan = Dedup.jaccardForPairs(candidates, candDocs, th = 0.8)
-        .queryExecution.executedPlan.toString
-      println(s"PLANCHECK InMemoryTableScan x${"InMemoryTableScan".r.findAllIn(vPlan).length}, " +
-        s"parquetScans x${"FileScan parquet|Scan parquet".r.findAllIn(vPlan).length}")
-      println(vPlan.linesIterator.filter(l => l.contains("Scan") || l.contains("Exchange")).mkString("\n"))
-      // isolate: same inputs via parquet (no cache/lineage dependency)
-      val tmp = java.nio.file.Files.createTempDirectory("graft-prof").toString
-      candidates.write.parquet(s"$tmp/cand")
-      candDocs.write.parquet(s"$tmp/docs")
-      val candP = spark.read.parquet(s"$tmp/cand")
-      val docsP = spark.read.parquet(s"$tmp/docs")
-      timed("p_verify_isolated")(Dedup.jaccardForPairs(candP, docsP, th = 0.8).count())
     }
     spark.stop()
   }
