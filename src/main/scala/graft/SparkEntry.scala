@@ -98,7 +98,8 @@ object SparkEntry {
       // rows-only (missing oracle entries), not crash Verify before it
       // writes oracle_sql.json and zero the whole correctness round
       try graft.ops.Similarity.dynamicOracles(spark, sfDir) ++
-        graft.ops.Dedup.dynamicOracles(spark, sfDir)
+        graft.ops.Dedup.dynamicOracles(spark, sfDir) ++
+        graft.ops.Multimodal.dynamicOracles(spark, sfDir)
       catch {
         case scala.util.control.NonFatal(e) =>
           System.err.println(s"[oracles] dynamic oracles skipped: ${e.getMessage}")

@@ -406,16 +406,21 @@ object Multimodal {
       .parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text")
       .as[(Long, String)]
-      .map { case (id, text) =>
-        val w = 32 + (id % 8).toInt * 4
-        val h = 32 + (id % 5).toInt * 4
-        (id % 3) match {
-          case 0 => MediaRow(id, "image/png", synthPng(id, w, h), w, h)
-          case 1 => MediaRow(id, "audio/wav", synthWav(id), 0, 0)
-          case _ => MediaRow(id, "video/mp4", synthMp4(id),
-            (320 + (id % 8) * 80).toInt, (240 + (id % 5) * 60).toInt)
-        }
-      }
+      .map { case (id, _) => mediaRowFor(id) }
+  }
+
+  /** The deterministic per-id media row (shared by the distributed table
+    * synthesis and the driver-side t12 oracle).
+    */
+  def mediaRowFor(id: Long): MediaRow = {
+    val w = 32 + (id % 8).toInt * 4
+    val h = 32 + (id % 5).toInt * 4
+    (id % 3) match {
+      case 0 => MediaRow(id, "image/png", synthPng(id, w, h), w, h)
+      case 1 => MediaRow(id, "audio/wav", synthWav(id), 0, 0)
+      case _ => MediaRow(id, "video/mp4", synthMp4(id),
+        (320 + (id % 8) * 80).toInt, (240 + (id % 5) * 60).toInt)
+    }
   }
 
   /** Per-partition batched feature extraction (decoder init once per
@@ -445,4 +450,41 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t12_media_features" -> ((s, d) => mediaFeatures(s, d))
   )
+
+  /** Oracle-rows cap: the t12 oracle is a VALUES list computed on the
+    * driver (one row per document), so it is only emitted at verify-sized
+    * corpora. Above the cap the query degrades to the rows-only check.
+    */
+  val MaxOracleRows = 20000
+
+  /** Dynamic t12 oracle (VERDICT r04 task 2): every t12 output cell is a
+    * deterministic pure function of doc_id (id-keyed PNG/WAV/MP4 synthesis
+    * → real decode), so the expected rows are recomputed on the DRIVER —
+    * a sequential path with none of the distributed machinery — and
+    * inlined as a VALUES list. The check then pins that the mapPartitions
+    * pipeline loses/duplicates/reorders nothing and that decode is
+    * deterministic across partitionings, with full rows+schema+hash
+    * instead of the former rows-only gate.
+    */
+  def dynamicOracles(spark: SparkSession, sfDir: String): Map[String, String] = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    if (docs.count() > MaxOracleRows) Map.empty
+    else {
+      val ids = docs.select("doc_id").orderBy("doc_id")
+        .collect().map(_.getLong(0))
+      val rows = ids.map { id =>
+        val r = mediaRowFor(id)
+        val feat = decode(r.media_type, r.payload)
+        val norm = math.rint(math.sqrt(feat.map(x => x * x).sum) * 10000) / 10000
+        s"($id, '${r.media_type}', ${r.payload.length}, CAST($norm AS DOUBLE), ${feat.length})"
+      }
+      Map("t12_media_features" ->
+        s"""SELECT CAST(media_id AS BIGINT) AS media_id, media_type,
+           |       CAST(n_bytes AS BIGINT) AS n_bytes, feat_norm,
+           |       CAST(feat_dim AS BIGINT) AS feat_dim
+           |FROM (VALUES ${rows.mkString(", ")})
+           |  AS t(media_id, media_type, n_bytes, feat_norm, feat_dim)"""
+          .stripMargin.replace("\n", " "))
+    }
+  }
 }
