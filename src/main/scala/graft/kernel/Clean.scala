@@ -164,41 +164,73 @@ object Clean {
     */
   val MinEastAsianUnits = 4
 
-  /** Deterministic Shift-JIS / EUC-KR / GBK discrimination for no-meta,
-    * non-UTF-8 pages (VERDICT r03 task 5 — the reference reaches for
-    * chardet's statistical models here, clean.py:137-138; this is a
-    * documented, reproducible byte-pattern cascade, not a chardet port):
+  /** Deterministic Shift-JIS / EUC-JP / EUC-KR / Big5 / GBK
+    * discrimination for no-meta, non-UTF-8 pages (VERDICT r03 task 5,
+    * extended with EUC-JP + Big5 in r05 per VERDICT r04 task 3 — the
+    * reference reaches for chardet's statistical models here,
+    * clean.py:137-138; this is a documented, reproducible byte-pattern
+    * cascade, not a chardet port):
     *
     *  1. Shift-JIS when the stream walks cleanly under the SJIS state
     *     machine, does NOT walk as an EUC-family stream, and contains ≥1
     *     pair with lead 0x81-0x9F — the hiragana/katakana/punctuation
     *     rows ubiquitous in real Japanese text and structurally invalid
     *     as EUC leads.
-    *  2. EUC-KR when every multi-byte pair is lead 0xA1-0xFE +
+    *  2. EUC-JP when the stream walks as EUC-family (now including the
+    *     SS2 half-width-kana form 0x8E+[A1-DF] and the SS3 JIS X 0212
+    *     form 0x8F+pair) AND either an SS2/SS3 unit occurs (structurally
+    *     impossible in EUC-KR, whose 0x8E/0x8F are not lead bytes) or
+    *     ≥30% of units sit in the kana rows 0xA4/0xA5 — real Japanese
+    *     text is hiragana-dominated, while Korean/Chinese EUC text has
+    *     ~0% in those rows (GB2312 row 0xA4/0xA5 IS kana but only for
+    *     quoted Japanese).
+    *  3. EUC-KR when every multi-byte unit is lead 0xA1-0xFE +
     *     trail 0xA1-0xFE AND ≥90% of pair leads sit in the Hangul
     *     syllable rows 0xB0-0xC8. Korean text is ~100% Hangul rows;
     *     Chinese GB2312 text spreads leads across 0xB0-0xF7 (frequent
     *     hanzi cluster in the pinyin-ordered level-1 area but never at
     *     ~100% in the 0xB0-0xC8 slice), so 0.9 separates them.
-    *  3. GBK when the stream walks under the GBK state machine
-    *     (lead 0x81-0xFE, trail 0x40-0xFE except 0x7F).
-    *  4. Otherwise None → the cp1252 fallback.
+    *  4. Big5 when the stream walks under the Big5 state machine (lead
+    *     0xA1-0xF9, trail 0x40-0x7E ∪ 0xA1-0xFE) AND ≥1 low trail
+    *     (0x40-0x7E) occurs. Every Big5 stream also walks as GBK, so
+    *     Big5 must be tried first; the low-trail requirement is the
+    *     discriminator — GB2312-subset text (the dominant real-world
+    *     GBK case) has no low trails at all, while ~half of real Big5
+    *     hanzi do.
+    *  5. GBK when the stream walks under the GBK state machine
+    *     (lead 0x81-0xFE, trail 0x40-0xFE except 0x7F) AND a majority
+    *     of pairs have trail ≥ 0xA1 (double-high). Real GB2312-subset
+    *     text is dominated by double-high pairs; cp1252 western text
+    *     whose accented bytes are each followed by an ASCII letter
+    *     (e.g. "Müller für Bücher") walks the GBK machine but never
+    *     produces a double-high pair, so the majority rule sends it to
+    *     the cp1252 fallback (ADVICE r04).
+    *  6. Otherwise None → the cp1252 fallback.
     *
-    * Known limits (documented deviation, SURVEY.md §0.1): EUC-JP and
-    * Big5 are out of scope and will land on EUC-KR/GBK or cp1252;
-    * pathological SJIS text avoiding the 0x81-0x9F rows falls through.
-    * Each verdict additionally needs MinEastAsianUnits multi-byte units.
+    * Known limits (documented deviation, SURVEY.md §0.1): kana-free
+    * all-kanji EUC-JP (no SS2/SS3, <30% rows 0xA4/0xA5) lands on GBK;
+    * GBK text written mostly with low-trail extension hanzi (outside
+    * GB2312) misdetects as Big5; pathological SJIS text avoiding the
+    * 0x81-0x9F rows falls through. Each verdict additionally needs
+    * MinEastAsianUnits multi-byte units.
     */
   def detectEastAsian(bytes: Array[Byte]): Option[Charset] = {
     val sjis = sjisUnits(bytes)
-    val euc = eucPairs(bytes)
+    val euc = eucUnits(bytes)
     if (sjis._1 >= MinEastAsianUnits && sjis._2 >= 1 && euc == null)
       return Some(Charset.forName("Shift_JIS"))
-    if (euc != null && euc._1 >= MinEastAsianUnits &&
-        euc._2 * 10 >= euc._1 * 9)
-      return Some(Charset.forName("EUC-KR"))
+    if (euc != null && euc.units >= MinEastAsianUnits) {
+      if (euc.ss23 >= 1 || euc.kana * 10 >= euc.units * 3)
+        return Some(Charset.forName("EUC-JP"))
+      if (euc.ss23 == 0 && euc.hangul * 10 >= euc.units * 9)
+        return Some(Charset.forName("EUC-KR"))
+    }
+    val big5 = big5Pairs(bytes)
+    if (big5 != null && big5._1 >= MinEastAsianUnits && big5._2 >= 1)
+      return Some(Charset.forName("Big5"))
     val gbk = gbkPairs(bytes)
-    if (gbk >= MinEastAsianUnits) return Some(Charset.forName("GBK"))
+    if (gbk != null && gbk._1 >= MinEastAsianUnits && gbk._2 * 2 >= gbk._1)
+      return Some(Charset.forName("GBK"))
     None
   }
 
@@ -225,43 +257,89 @@ object Clean {
     (units, distinct)
   }
 
-  /** (pairs, hangulRowPairs) if every non-ASCII byte forms an EUC pair
-    * (lead and trail both 0xA1-0xFE); null otherwise.
+  /** EUC-family walk result: total multi-byte units, Hangul-row pairs
+    * (lead 0xB0-0xC8), kana-row units (lead 0xA4/0xA5 pairs + SS2
+    * half-width kana), and SS2/SS3 escape units.
     */
-  private def eucPairs(bytes: Array[Byte]): (Int, Int) = {
-    var i = 0; var pairs = 0; var hangul = 0
+  private final case class EucWalk(units: Int, hangul: Int, kana: Int, ss23: Int)
+
+  /** EUC-family walk: singles 0x00-0x7F; pairs lead+trail 0xA1-0xFE;
+    * the EUC-JP-only SS2 form 0x8E+[0xA1-0xDF] and SS3 form 0x8F+pair.
+    * null if any byte violates the family.
+    */
+  private def eucUnits(bytes: Array[Byte]): EucWalk = {
+    var i = 0; var units = 0; var hangul = 0; var kana = 0; var ss23 = 0
     while (i < bytes.length) {
       val c = bytes(i) & 0xff
       if (c <= 0x7f) i += 1
-      else if (c >= 0xa1 && c <= 0xfe) {
+      else if (c == 0x8e) { // SS2: half-width kana (EUC-JP only)
+        if (i + 1 >= bytes.length) return null
+        val t = bytes(i + 1) & 0xff
+        if (t >= 0xa1 && t <= 0xdf) { units += 1; kana += 1; ss23 += 1; i += 2 }
+        else return null
+      } else if (c == 0x8f) { // SS3: JIS X 0212 3-byte form (EUC-JP only)
+        if (i + 2 >= bytes.length) return null
+        val t1 = bytes(i + 1) & 0xff
+        val t2 = bytes(i + 2) & 0xff
+        if (t1 >= 0xa1 && t1 <= 0xfe && t2 >= 0xa1 && t2 <= 0xfe) {
+          units += 1; ss23 += 1; i += 3
+        } else return null
+      } else if (c >= 0xa1 && c <= 0xfe) {
         if (i + 1 >= bytes.length) return null
         val t = bytes(i + 1) & 0xff
         if (t >= 0xa1 && t <= 0xfe) {
-          pairs += 1
+          units += 1
           if (c >= 0xb0 && c <= 0xc8) hangul += 1
+          if (c == 0xa4 || c == 0xa5) kana += 1
           i += 2
         } else return null
       } else return null
     }
-    (pairs, hangul)
+    EucWalk(units, hangul, kana, ss23)
   }
 
-  /** Pair count if the stream walks under GBK (lead 0x81-0xFE, trail
-    * 0x40-0xFE except 0x7F); -1 otherwise.
+  /** (pairs, lowTrailPairs) if the stream walks under Big5 (lead
+    * 0xA1-0xF9, trail 0x40-0x7E ∪ 0xA1-0xFE); null otherwise.
     */
-  private def gbkPairs(bytes: Array[Byte]): Int = {
-    var i = 0; var pairs = 0
+  private def big5Pairs(bytes: Array[Byte]): (Int, Int) = {
+    var i = 0; var pairs = 0; var low = 0
+    while (i < bytes.length) {
+      val c = bytes(i) & 0xff
+      if (c <= 0x7f) i += 1
+      else if (c >= 0xa1 && c <= 0xf9) {
+        if (i + 1 >= bytes.length) return null
+        val t = bytes(i + 1) & 0xff
+        if ((t >= 0x40 && t <= 0x7e) || (t >= 0xa1 && t <= 0xfe)) {
+          pairs += 1
+          if (t <= 0x7e) low += 1
+          i += 2
+        } else return null
+      } else return null
+    }
+    (pairs, low)
+  }
+
+  /** (pairs, doubleHighPairs) if the stream walks under GBK (lead
+    * 0x81-0xFE, trail 0x40-0xFE except 0x7F); null otherwise. The
+    * double-high count (trail ≥ 0xA1) backs the majority rule that
+    * rejects cp1252 accent+ASCII-letter streams (ADVICE r04).
+    */
+  private def gbkPairs(bytes: Array[Byte]): (Int, Int) = {
+    var i = 0; var pairs = 0; var high = 0
     while (i < bytes.length) {
       val c = bytes(i) & 0xff
       if (c <= 0x7f) i += 1
       else if (c >= 0x81 && c <= 0xfe) {
-        if (i + 1 >= bytes.length) return -1
+        if (i + 1 >= bytes.length) return null
         val t = bytes(i + 1) & 0xff
-        if (t >= 0x40 && t <= 0xfe && t != 0x7f) { pairs += 1; i += 2 }
-        else return -1
-      } else return -1
+        if (t >= 0x40 && t <= 0xfe && t != 0x7f) {
+          pairs += 1
+          if (t >= 0xa1) high += 1
+          i += 2
+        } else return null
+      } else return null
     }
-    pairs
+    (pairs, high)
   }
 
   // ------------------------------------------------------------- pipeline

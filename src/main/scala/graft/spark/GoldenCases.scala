@@ -414,7 +414,23 @@ object GoldenCases {
       ("<html><head><title>fixture</title></head><body>" +
         s"""<div class="storyblock"><p>한국어 시험 문서입니다 가나다라 마바사 zw1 $WinText</p><p>$WinText</p></div>""" +
         "</body></html>").getBytes("EUC-KR"),
-      mustContain = Seq("한국어", "zw1"))
+      mustContain = Seq("한국어", "zw1")),
+    // NO meta + EUC-JP bytes: kana rows 0xA4/0xA5 dominate (≥30%) →
+    // the r05 EUC-JP branch decodes it where r04 produced EUC-KR/GBK
+    // mojibake (VERDICT r04 task 3)
+    GCase("enc_eucjp_nometa", "http://fixtures.test/enc/eucjpnometa",
+      ("<html><head><title>fixture</title></head><body>" +
+        s"""<div class="storyblock"><p>これは日本語のテストです記事本文 zw1 $WinText</p><p>$WinText</p></div>""" +
+        "</body></html>").getBytes("EUC-JP"),
+      mustContain = Seq("日本語のテスト", "zw1")),
+    // NO meta + Big5 bytes incl. a low-trail pair (一 = 0xA4 0x40, which
+    // breaks the EUC walk): the r05 Big5 branch decodes it before the
+    // GBK superset can claim the stream (VERDICT r04 task 3)
+    GCase("enc_big5_nometa", "http://fixtures.test/enc/big5nometa",
+      ("<html><head><title>fixture</title></head><body>" +
+        s"""<div class="storyblock"><p>中文測試內容這是一個測試頁面 zw1 $WinText</p><p>$WinText</p></div>""" +
+        "</body></html>").getBytes("Big5"),
+      mustContain = Seq("中文測試", "一個", "zw1"))
   )
 
   // ---------------------------------------------------------- degenerate/

@@ -47,6 +47,31 @@ class CleanSpec extends AnyFunSuite {
     assert(Clean.decodeHtml(declared).contains("café"))
   }
 
+  test("east-asian no-meta discrimination: EUC-JP / Big5 branches (VERDICT r04 task 3)") {
+    def body(s: String) = s"<html><body><p>$s</p></body></html>"
+    // hiragana/katakana-dominated Japanese: kana rows 0xA4/0xA5 ≥ 30%
+    val jp = body("これは日本語のテストです記事本文")
+    assert(Clean.decodeHtml(jp.getBytes("EUC-JP")) == jp)
+    // the SS2 half-width-kana form is structurally EUC-JP-only
+    val jpHalf = body("ﾃｽﾄ記事です本文内容")
+    assert(Clean.decodeHtml(jpHalf.getBytes("EUC-JP")) == jpHalf)
+    // traditional Chinese with at least one low-trail pair (一 = A4 40)
+    val tw = body("中文測試內容這是一個測試頁面")
+    assert(Clean.decodeHtml(tw.getBytes("Big5")) == tw)
+    // Korean must still win over the new EUC-JP branch (0% kana rows)
+    val ko = body("한국어 시험 문서입니다 가나다라 마바사")
+    assert(Clean.decodeHtml(ko.getBytes("EUC-KR")) == ko)
+  }
+
+  test("GBK verdict needs majority double-high pairs: cp1252 accent+letter text stays cp1252 (ADVICE r04)") {
+    def body(s: String) = s"<html><body><p>$s</p></body></html>"
+    // every umlaut is followed by an ASCII letter, so the stream walks
+    // the GBK machine (lead 0xFC/0xF6 + low trail) but contains zero
+    // double-high pairs — must fall back to cp1252, not decode as GBK
+    val de = body("Müller für Bücher schön müde Köln Süden")
+    assert(Clean.decodeHtml(de.getBytes("windows-1252")) == de)
+  }
+
   test("meta charset beats BOM-looking prefix bytes (ADVICE r03)") {
     // cp1252 page whose body starts with 0xFF 0xFE ('ÿþ') but DECLARES
     // its charset: the declaration must win — r03 decoded this as UTF-16
