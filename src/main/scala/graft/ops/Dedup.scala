@@ -138,7 +138,7 @@ object Dedup {
     * measured 4× slower even at sf0.01).
     */
   def shingles(df: DataFrame): DataFrame =
-    df.selectExpr("doc_id", "filter(split(text, '\\\\s+'), x -> x != '') AS toks")
+    df.selectExpr("doc_id", s"filter(split(text, ${Tokenize.SparkWs}), x -> x != '') AS toks")
       .selectExpr("doc_id",
         """explode(array_distinct(CASE WHEN size(toks) >= 3
           |  THEN transform(sequence(0, size(toks) - 3),
@@ -269,7 +269,7 @@ object Dedup {
     import spark.implicits._
     docs(spark, sfDir)
       .selectExpr("doc_id",
-        s"""transform(filter(split(text, '\\\\s+'), x -> x != ''),
+        s"""transform(filter(split(text, ${Tokenize.SparkWs}), x -> x != ''),
            | t -> ${fam.hash60Sql("t")}) AS hs""".stripMargin.replace("\n", " "))
       .as[(Long, Seq[Long])]
       .mapPartitions { it =>
@@ -590,8 +590,8 @@ object Dedup {
 
   /** Shared DuckDB CTE prefix: tokens → distinct (doc_id, shingle). */
   private val ShingleCtes =
-    """toks AS (
-      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS tk
+    s"""toks AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, ${Tokenize.DuckWs}), x -> x != '') AS tk
       |  FROM documents),
       |sh0 AS (
       |  SELECT DISTINCT doc_id, shingle FROM (
@@ -639,8 +639,8 @@ object Dedup {
     // Full SimHash mirror: 60-bit md5-slice token hash (dup tokens vote),
     // 4×15-bit pigeonhole chunks, exact hamming ≤ 3.
     "t7_simhash_dedup" ->
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS tk
+      s"""WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, ${Tokenize.DuckWs}), x -> x != '') AS tk
         |  FROM documents),
         |tok AS (SELECT doc_id, unnest(tk) AS t FROM toks),
         |th AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
@@ -682,7 +682,7 @@ object Dedup {
          |  SELECT doc_id, 'exact-dup' AS status, keep_id AS dup_of
          |  FROM wk WHERE doc_id != keep_id),
          |stoks AS (
-         |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS tk
+         |  SELECT doc_id, list_filter(regexp_split_to_array(text, ${Tokenize.DuckWs}), x -> x != '') AS tk
          |  FROM surv),
          |ssh0 AS (
          |  SELECT DISTINCT doc_id, shingle FROM (

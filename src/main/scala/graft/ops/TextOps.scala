@@ -19,7 +19,7 @@ object TextOps {
   def docs(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
 
-  private val Toks = "filter(split(text, '\\\\s+'), x -> x != '')"
+  private val Toks = s"filter(split(text, ${Tokenize.SparkWs}), x -> x != '')"
 
   /** Token counting: whitespace tokens + a BPE-ish sub-token regex
     * (letter runs / digit runs / single other symbol).
@@ -29,7 +29,7 @@ object TextOps {
       "doc_id",
       "CAST(length(text) AS BIGINT) AS n_chars_m",
       s"CAST(size($Toks) AS BIGINT) AS n_tokens",
-      "CAST(size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)) AS BIGINT) AS n_subtokens")
+      s"CAST(size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9${Tokenize.SparkWsChars}]', 0)) AS BIGINT) AS n_subtokens")
 
   private val Stop = Map(
     "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "that", "for", "it"),
@@ -40,7 +40,7 @@ object TextOps {
 
   private def arr(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("array(", ",", ")")
   private def hits(l: String) =
-    s"size(filter(filter(split(lower(text), '\\\\s+'), x -> x != ''), x -> array_contains(${arr(Stop(l))}, x)))"
+    s"size(filter(filter(split(lower(text), ${Tokenize.SparkWs}), x -> x != ''), x -> array_contains(${arr(Stop(l))}, x)))"
 
   /** Quality scoring: length, word stats, punctuation & stopword ratios —
     * the standard pretraining-filter features (C4/Gopher-style).
@@ -139,9 +139,9 @@ object TextOps {
     * init-0 aggregate step-for-step, r04).
     */
   val oracles: Map[String, String] = {
-    def dToks = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')"
+    def dToks = s"list_filter(regexp_split_to_array(text, ${Tokenize.DuckWs}), x -> x != '')"
     def dHits(l: String) =
-      s"len(list_filter(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != ''), x -> list_contains([${Stop(l).map(w => s"'$w'").mkString(",")}], x)))"
+      s"len(list_filter(list_filter(regexp_split_to_array(lower(text), ${Tokenize.DuckWs}), x -> x != ''), x -> list_contains([${Stop(l).map(w => s"'$w'").mkString(",")}], x)))"
     val langs = Seq("en", "de", "fr", "es", "zh")
     val caseExpr = langs
       .map { l =>
@@ -152,7 +152,7 @@ object TextOps {
     Map(
       "t2_token_count" ->
         s"""SELECT doc_id, length(text) AS n_chars_m, CAST(len($dToks) AS BIGINT) AS n_tokens,
-           |       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_subtokens
+           |       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9${Tokenize.DuckWsChars}]')) AS BIGINT) AS n_subtokens
            |FROM documents""".stripMargin,
       "t3_quality_score" ->
         s"""SELECT doc_id, length(text) AS n_chars_m, CAST(len($dToks) AS BIGINT) AS n_words,

@@ -11,12 +11,24 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class BenchFormatSpec extends AnyFunSuite {
 
+  /** Renders with fixture State, restoring every touched field afterwards
+    * so later suites in the same JVM never observe the fixture values
+    * (ADVICE r04: the shared singleton is cross-test-contamination bait).
+    */
   private def render(partial: Boolean): String = {
     val st = Bench.State
-    st.sfDir = "/root/testdata/sf0.1"
-    st.headline = Some((20000L, 1.25, 360000000L))
-    st.queries = Seq("q_ok" -> Right(0.5), "q_bad" -> Left("boom: \"quoted\"\nline"))
-    st.toJson(partial)
+    val (sfDir0, headline0, queries0, t13_0) =
+      (st.sfDir, st.headline, st.queries, st.t13Runs)
+    try {
+      st.sfDir = "/root/testdata/sf0.1"
+      st.headline = Some((20000L, 1.25, 360000000L))
+      st.queries = Seq("q_ok" -> Right(0.5), "q_bad" -> Left("boom: \"quoted\"\nline"))
+      st.t13Runs = Vector(5.1, 4.9, 5.6)
+      st.toJson(partial)
+    } finally {
+      st.sfDir = sfDir0; st.headline = headline0
+      st.queries = queries0; st.t13Runs = t13_0
+    }
   }
 
   test("bench JSON line parses and escapes control chars in errors") {
@@ -39,6 +51,25 @@ class BenchFormatSpec extends AnyFunSuite {
       assert(tail.contains("\"headline_docs_per_sec\""), "headline lost from tail")
       assert(tail.contains("\"exec_gate_pass\""), "gate verdict lost from tail")
       assert(tail.contains("\"thread_best_eff\""), "thread evidence lost from tail")
+      assert(tail.contains("\"thread_role\""), "thread role label lost from tail")
     }
+  }
+
+  test("t13 stats block: median/min/max from the in-window runs") {
+    val parsed = org.json4s.jackson.JsonMethods.parse(render(partial = false))
+    val stats = (parsed \ "t13_stats").asInstanceOf[org.json4s.JObject].obj.toMap
+    assert(stats.keySet == Set("runs", "median", "min", "max"))
+    assert(stats("median") == org.json4s.JDouble(5.1))
+    assert(stats("min") == org.json4s.JDouble(4.9))
+    assert(stats("max") == org.json4s.JDouble(5.6))
+  }
+
+  test("thread_role labels a sub-gate thread median as calibration_only") {
+    // the fixture State has no thread pairs at all → median -1 → the
+    // artifact must carry the calibration label, never a bare sub-gate
+    // number (VERDICT r04 task 5)
+    val parsed = org.json4s.jackson.JsonMethods.parse(render(partial = false))
+    val role = (parsed \ "gate_summary" \ "thread_role")
+    assert(role == org.json4s.JString("calibration_only"))
   }
 }

@@ -42,6 +42,21 @@ class DedupSpec extends SparkSpec {
     dir
   }
 
+  test("token delimiter: explicit class, \\x0B splits like Java \\s (ADVICE r04)") {
+    // The pinned class must keep Java-\s semantics — INCLUDING U+000B
+    // vertical tab, which RE2's \s does not match. Three tokens here, so
+    // shingles emits the single 3-shingle "a b c"; if \x0B stopped being
+    // a delimiter the row would read "a\u000Bb c" instead.
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a\u000Bb c")).toDF("doc_id", "text")
+    val sh = Dedup.shingles(df).collect().map(_.getAs[String]("shingle"))
+    assert(sh.toSeq == Seq("a b c"))
+    // and both engine literals spell out the vertical tab explicitly —
+    // neither side leans on its engine's \s default
+    assert(Tokenize.SparkWs.contains("x0B") && Tokenize.DuckWs.contains("x0b"))
+  }
+
   test("exact dedup groups the identical pair under min keeper id") {
     val rows = Dedup.exact(spark, plantedDir).collect()
     assert(rows.length == 4) // 5 docs, one exact-dup pair

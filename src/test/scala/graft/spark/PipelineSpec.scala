@@ -103,6 +103,55 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/lineage").count() == 8)
   }
 
+  test("crash BETWEEN extracted write and lineage append: resume leaves exactly one copy (VERDICT r04 task 6)") {
+    val dir = Files.createTempDirectory("graft-crashwin").toString
+    val df = PagesGen.asDataFrame(spark, sf001)
+    val buckets = 8
+    ExtractJob.runToDir(spark, df, dir, "r1", buckets, failAfterPids = 3)
+    val committed = spark.read.parquet(s"$dir/lineage")
+      .select("partition_id").distinct().collect().map(_.getInt(0)).toSet
+    assert(committed.size == 3)
+
+    // Simulate the precise window the lineage-commits-last ordering exists
+    // for: the extracted files for ONE more pid land on disk, then the JVM
+    // dies BEFORE the lineage append — same write sequence as runToDir,
+    // truncated after the first write.
+    val victim = (0 until buckets).filterNot(committed.contains).head
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      ExtractJob.extract(ExtractJob.withPid(df, buckets).filter(col("pid") === victim))
+        .repartition(1, col("pid"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("pid").parquet(s"$dir/extracted")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    val orphan = spark.read.parquet(s"$dir/extracted")
+      .filter(col("pid") === victim).count()
+    assert(orphan > 0, "the crash window must leave orphaned extracted files")
+    assert(!ExtractJob.committedPids(
+      spark.read.parquet(s"$dir/lineage"), "r1").contains(victim),
+      "the victim pid must NOT be committed — its lineage row never landed")
+
+    // Resume: the victim pid is uncommitted, so it must re-extract, and
+    // dynamic overwrite must replace the orphaned files — exactly one copy
+    // of every url, zero duplicates.
+    ExtractJob.runToDir(spark, df, dir, "r1", buckets)
+    val full = spark.read.parquet(s"$dir/extracted")
+    assert(full.count() == pages.length)
+    assert(full.select("url").distinct().count() == pages.length,
+      "duplicate rows after resume — dynamic overwrite failed to replace the orphans")
+    assert(spark.read.parquet(s"$dir/lineage")
+      .select("partition_id").distinct().count() == buckets)
+    val victimRows = spark.read.parquet(s"$dir/extracted")
+      .filter(col("pid") === victim)
+    assert(victimRows.count() == orphan,
+      "victim pid must hold the same row count as the orphaned write, once")
+    assert(victimRows.select("url").distinct().count() == victimRows.count())
+  }
+
   test("flagship entry returns rows with successful extraction") {
     val rows = graft.SparkEntry.entry(spark).collect()
     assert(rows.length == pages.length)
