@@ -27,6 +27,13 @@ object FuzzCampaignCli {
         val s1 = HtmlParser.parse(html).serialized
         val s2 = HtmlParser.parse(s1).serialized
         if (s1 != s2) { println(s"NON-FIXPOINT seed=$i"); fails += 1 }
+        // decode-path fuzz (r05): arbitrary byte streams through the full
+        // charset cascade — BOM / UTF-8-validity / SJIS / EUC-JP / EUC-KR /
+        // Big5 / GBK / cp1252 — must never throw and must be deterministic.
+        val rb = gen.bytes(i * 0x9E3779B97F4A7C15L, 16 + i % 300)
+        val d1 = Clean.decodeHtml(rb)
+        val d2 = Clean.decodeHtml(rb)
+        if (d1 != d2) { println(s"NONDETERMINISTIC-DECODE seed=$i"); fails += 1 }
       } catch {
         case e: Throwable =>
           println(s"THROW seed=$i: ${e.getClass.getName}: ${e.getMessage}")
@@ -58,6 +65,12 @@ final class FuzzGen {
     "<b", "<-", "< p>", "<3>", "<p/>,", "<p =x>", "<p a=>", "<p 'q'>",
     "<!DOCTYPE html>", "&nbsp;", "<title>t</title>", "<ul><li>x</li></ul>",
     "<h1>header text goes here</h1>", "<noscript>", "</noscript>")
+
+  /** Arbitrary bytes (full 0x00-0xFF range) for decode-cascade fuzzing. */
+  def bytes(seed: Long, n: Int): Array[Byte] = {
+    val it = xorshift(seed)
+    Array.fill(n)((it.next() & 0xff).toByte)
+  }
 
   def doc(seed: Long, atoms: Int): String = {
     val it = xorshift(seed)
