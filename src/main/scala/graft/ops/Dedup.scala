@@ -76,12 +76,14 @@ object HashFamily {
   *
   * Scale design (100 TB posture):
   *  - exact: one hash-groupBy shuffle on a 32-byte key; map-side partial agg.
-  *  - minhash: signatures are computed with ONE shuffle (groupBy doc_id of
-  *    exploded distinct shingles, 64 min() partial aggs); candidate
-  *    generation is a self-equi-join on (band_idx, band_hash) — only
-  *    bucket-mates ever meet, never all-pairs. Identical-document floods
-  *    (the classic LSH skew) are bounded because exact dedup runs first in
-  *    a real pipeline; AQE skew-join handles the rest.
+  *  - minhash: signatures are a per-row map-only projection (codegen'd
+  *    [[graft.spark.MinhashSig]] loop — no explode, no aggregation, no
+  *    shuffle); candidate generation groups (band_idx, band_hash, doc_id)
+  *    by band bucket and expands i<j pairs in-bucket — only bucket-mates
+  *    ever meet, never all-pairs, and the 512 B signature arrays stay out
+  *    of the shuffle. Identical-document floods (the classic LSH skew)
+  *    are bounded because exact dedup runs first in a real pipeline; AQE
+  *    skew-join handles the rest.
   *  - simhash: per-row 60-bit signature (no shuffle), then the 4×15-bit
   *    pigeonhole chunk join for hamming ≤ 3 — again equi-join, no all-pairs.
   *  - n-gram Jaccard: exact verification join on shared shingles; meant to
@@ -137,42 +139,47 @@ object Dedup {
     * split+filter per element (that nesting is O(tokens²) per document —
     * measured 4× slower even at sf0.01).
     */
+  /** Per-row SQL fragment: the distinct 3-token shingle ARRAY of a doc,
+    * from a prebuilt `toks` array column. Shared verbatim between the
+    * exploded relation ([[shingles]], for the Jaccard operators, which
+    * genuinely need cross-document shingle joins) and the per-row
+    * signature path ([[minhashSignatures]], which does not).
+    */
+  private val ShingleArraySql: String =
+    """array_distinct(CASE WHEN size(toks) >= 3
+      |  THEN transform(sequence(0, size(toks) - 3),
+      |       i -> concat_ws(' ', slice(toks, i + 1, 3)))
+      |  ELSE array(concat_ws(' ', toks)) END)"""
+      .stripMargin.replace("\n", " ")
+
   def shingles(df: DataFrame): DataFrame =
     df.selectExpr("doc_id", s"filter(split(text, ${Tokenize.SparkWs}), x -> x != '') AS toks")
-      .selectExpr("doc_id",
-        """explode(array_distinct(CASE WHEN size(toks) >= 3
-          |  THEN transform(sequence(0, size(toks) - 3),
-          |       i -> concat_ws(' ', slice(toks, i + 1, 3)))
-          |  ELSE array(concat_ws(' ', toks)) END)) AS shingle"""
-          .stripMargin.replace("\n", " "))
+      .selectExpr("doc_id", s"explode($ShingleArraySql) AS shingle")
 
-  /** 64-hash MinHash signature per document. The shingle string is hashed
-    * ONCE to a 31-bit base (per the active [[HashFamily]]), and the
-    * family is 64 affine rehashes of the base: h_i = (a_i·base + b_i)
-    * mod p — 64 long-multiplies instead of 64 string-hashes per shingle,
-    * and exactly mirrorable in DuckDB under the Md5Mirror family (see
-    * MinhashA scaladoc).
+  /** 64-hash MinHash signature per document — a PER-ROW projection, no
+    * explode / aggregation / shuffle. The shingle string is hashed ONCE
+    * to a 31-bit base (per the active [[HashFamily]]), and the family is
+    * 64 affine rehashes of the base: h_i = (a_i·base + b_i) mod p —
+    * evaluated by the codegen'd [[graft.spark.MinhashSig]] loop
+    * (shingles × 64 long multiply-mod per document, inside the scan
+    * stage). Values are bit-identical to the r01–r04 explode +
+    * 64-column-min aggregation (min over the same distinct-shingle bases
+    * of the same family), so the DuckDB mirror — which keeps the GROUP BY
+    * shape — is unchanged; the DedupSpec planted corpus pins the pair
+    * sets per family.
+    *
+    * Scale: signatures become map-only — the corpus is read once and
+    * NOTHING shuffles until banding (which shuffles only
+    * (band_idx, band_key, doc_id), ~20 B/row·band).
     */
   def minhashSignatures(df: DataFrame,
-      fam: HashFamily = HashFamily.Xx64): DataFrame =
-    minhashSignaturesOnShingles(shingles(df), fam)
-
-  /** Signature aggregation over a prebuilt (doc_id, shingle) relation —
-    * lets a pipeline share ONE shingle pass between the signature stage
-    * and the Jaccard verify stage (r03: the double shingle pass dominated
-    * t13's runtime).
-    */
-  def minhashSignaturesOnShingles(sh: DataFrame,
       fam: HashFamily = HashFamily.Xx64): DataFrame = {
-    val aggs: Seq[Column] = (0 until NumHashes).map { i =>
-      min(pmod(lit(MinhashA(i)) * col("base") + lit(MinhashB(i)),
-        lit(MinhashP))).as(s"h$i")
-    }
-    sh.withColumn("base", fam.base31(col("shingle")))
-      .groupBy(col("doc_id"))
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"),
-        array((0 until NumHashes).map(i => col(s"h$i")): _*).as("sig"))
+    graft.spark.MinhashExpressions.register(
+      df.sparkSession, MinhashA, MinhashB, MinhashP)
+    df.selectExpr("doc_id", s"filter(split(text, ${Tokenize.SparkWs}), x -> x != '') AS toks")
+      .selectExpr("doc_id",
+        s"transform($ShingleArraySql, s -> ${fam.base31Sql("s")}) AS bases")
+      .selectExpr("doc_id", "minhash_sig(bases) AS sig")
   }
 
   /** MinHash + LSH banding: near-dup pairs with estimated Jaccard ≥ th. */
@@ -181,19 +188,15 @@ object Dedup {
     minhashLshOn(docs(spark, sfDir), th, fam)
 
   def minhashLshOn(docsDf: DataFrame, th: Double,
-      fam: HashFamily = HashFamily.Xx64): DataFrame =
-    minhashLshOnShingles(shingles(docsDf), th, fam)
-
-  def minhashLshOnShingles(sh: DataFrame, th: Double,
       fam: HashFamily = HashFamily.Xx64): DataFrame = {
-    // The signature relation is referenced four times below (banding ×2,
+    // The signature relation is referenced three times below (banding,
     // sig-fetch joins ×2) and Spark's ReuseExchange does NOT deduplicate
-    // the subtrees (r05 profile: 4 full shingle-scan+aggregation passes,
+    // the subtrees (r05 profile: 4 full shingle-scan+signature passes,
     // ~3× the single-pass cost). Signatures are 1 row/doc × ~520 B —
     // negligible next to the corpus — so materialize them ONCE:
     // localCheckpoint here; a persisted signature table at real scale
     // (the standard shape for production MinHash pipelines).
-    val sig = minhashSignaturesOnShingles(sh, fam).localCheckpoint()
+    val sig = minhashSignatures(docsDf, fam).localCheckpoint()
     // Band key per the family (HashFamily.bandKeySql): an 8-byte long in
     // production, the comma-joined values verbatim under the mirror (the
     // oracle must reproduce the exact candidate set).
@@ -211,6 +214,22 @@ object Dedup {
     // bucket of k identical docs costs k²/2 pair rows exactly as the
     // self-join would; the composite pipeline runs exact dedup first,
     // which removes that mass.
+    val pairs = lshCandidatePairs(sig, fam)
+    pairs
+      .join(sig.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sig.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .selectExpr("id_a", "id_b",
+        s"round(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / $NumHashes.0D, 4) AS est_jaccard")
+      .filter(col("est_jaccard") >= th)
+  }
+
+  /** Banding + in-bucket pair expansion over a (doc_id, sig) relation —
+    * the candidate-generation half of [[minhashLshOn]], factored out so
+    * the profiler can attribute its cost separately from the sig-fetch
+    * joins.
+    */
+  def lshCandidatePairs(sig: DataFrame,
+      fam: HashFamily = HashFamily.Xx64): DataFrame = {
     val banded = sig.selectExpr(
       "doc_id",
       s"""posexplode(transform(sequence(0, ${Bands - 1}),
@@ -219,7 +238,7 @@ object Dedup {
         .stripMargin.replace("\n", " "))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_hash")
-    val pairs = banded
+    banded
       .groupBy(col("band_idx"), col("band_hash"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
@@ -229,12 +248,6 @@ object Dedup {
           |       x -> struct(ids[i] AS id_a, x AS id_b)))))"""
           .stripMargin.replace("\n", " "))
       .dropDuplicates("id_a", "id_b")
-    pairs
-      .join(sig.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(sig.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
-      .selectExpr("id_a", "id_b",
-        s"round(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / $NumHashes.0D, 4) AS est_jaccard")
-      .filter(col("est_jaccard") >= th)
   }
 
   /** 60-bit token hash matching `('0x' || substr(md5(t), 1, 15))::BIGINT`

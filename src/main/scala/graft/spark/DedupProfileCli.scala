@@ -48,16 +48,34 @@ object DedupProfileCli {
     timed("base_hash") {
       sh.withColumn("base", fam.base31(col("shingle"))).agg(sum("base")).count()
     }
-    timed("signatures")(Dedup.minhashSignaturesOnShingles(sh, fam).count())
-    timed("t6_full")(Dedup.minhashLshOnShingles(sh, th = 0.5, fam).count())
+    timed("signatures")(Dedup.minhashSignatures(docs, fam).count())
+    timed("t6_full")(Dedup.minhashLshOn(docs, th = 0.5, fam).count())
     locally {
-      val q = Dedup.minhashLshOnShingles(sh, th = 0.5, fam)
+      val q = Dedup.minhashLshOn(docs, th = 0.5, fam)
       q.count()
       val p = q.queryExecution.executedPlan.toString
       println(s"T6PLAN scans=${"Scan parquet|FileScan parquet".r.findAllIn(p).length} " +
         s"reused=${"ReusedExchange".r.findAllIn(p).length} " +
         s"exchanges=${"Exchange hashpartitioning".r.findAllIn(p).length} " +
         s"aqe=${"AdaptiveSparkPlan".r.findAllIn(p).length}")
+    }
+    // t6 sub-stage attribution: signature checkpoint vs banding/pair-gen
+    // vs the sig-fetch joins (each stage includes its own planning cost,
+    // as the bench harness pays it).
+    locally {
+      val t0 = System.nanoTime()
+      val sig = Dedup.minhashSignatures(docs, fam).localCheckpoint()
+      println(f"CKPT  t6_sig ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      timed("t6_pairs_only")(Dedup.lshCandidatePairs(sig, fam).count())
+      timed("t6_from_sig") {
+        val pairs = Dedup.lshCandidatePairs(sig, fam)
+        pairs
+          .join(sig.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+          .join(sig.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+          .selectExpr("id_a", "id_b",
+            "round(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / 64.0D, 4) AS est_jaccard")
+          .filter(col("est_jaccard") >= 0.5).count()
+      }
     }
     timed("t8_jaccard")(Dedup.ngramJaccardOnShingles(sh, th = 0.05).count())
     timed("t13_pipeline")(Dedup.dedupPipeline(spark, sfDir, fam = fam).count())

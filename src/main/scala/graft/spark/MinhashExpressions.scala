@@ -1,0 +1,112 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** `minhash_sig(bases)` — the 64-hash MinHash signature of one document
+  * as `array<bigint>`, computed per ROW from its 31-bit shingle-base
+  * array: `sig[i] = min over v in bases of (a_i * v + b_i) mod p`.
+  *
+  * Rationale (VERDICT r04 "what's wrong" #1 follow-through): the r01–r04
+  * formulation exploded the (doc_id, shingle) relation (~1.5 k rows/doc)
+  * and ran a 64-column `min(pmod(...))` hash aggregation — correct, but
+  * the explode + partial-agg machinery (hash-table probe per shingle row
+  * × 64 min slots) dominated t6/t13, and the aggregation forces a
+  * shuffle of the signature relation. Per-row there is no explode, no
+  * aggregation and no shuffle: one tight codegen'd `long` loop
+  * (shingles × 64 multiply-mod) per document, emitted inside the scan
+  * stage. The VALUES are bit-identical to the aggregation formulation —
+  * min over the same distinct-shingle bases of the same affine family —
+  * so the DuckDB mirrors (which keep the GROUP BY shape) are unchanged.
+  *
+  * Constants arrive as reference objects (not literals) so the generated
+  * code stays two array lookups + multiply + mod per (shingle, i). The
+  * affine arithmetic is overflow-free: a < p ≤ 2³¹, v ≤ 2³¹−1, b < p ⇒
+  * a·v + b < 2⁶³ (see Dedup.MinhashA scaladoc).
+  *
+  * Scale: this turns MinHash signatures into a map-only projection — at
+  * 100 TB the signature stage reads the corpus once and shuffles nothing
+  * (banding downstream shuffles only (band_idx, band_key, doc_id)).
+  */
+case class MinhashSig(child: Expression, a: Array[Long], b: Array[Long], p: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"minhash_sig expects array<bigint>, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bases = input.asInstanceOf[ArrayData]
+    val n = bases.numElements()
+    val k = a.length
+    val mins = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val v = bases.getLong(j)
+      var i = 0
+      while (i < k) {
+        val h = (a(i) * v + b(i)) % p
+        if (h < mins(i)) mins(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", a, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", b, "long[]")
+    nullSafeCodeGen(ctx, ev, bases => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val v = ctx.freshName("v")
+      val h = ctx.freshName("h")
+      val mins = ctx.freshName("mins")
+      code"""
+        int $n = $bases.numElements();
+        long[] $mins = new long[${a.length}];
+        java.util.Arrays.fill($mins, Long.MAX_VALUE);
+        for (int $j = 0; $j < $n; $j++) {
+          long $v = $bases.getLong($j);
+          for (int $i = 0; $i < ${a.length}; $i++) {
+            long $h = ($aRef[$i] * $v + $bRef[$i]) % ${p}L;
+            if ($h < $mins[$i]) $mins[$i] = $h;
+          }
+        }
+        ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($mins);
+      """.toString
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSig =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash_sig"
+}
+
+object MinhashExpressions {
+  /** Register `minhash_sig` with the given affine family (idempotent). */
+  def register(spark: SparkSession, a: Array[Long], b: Array[Long], p: Long): Unit = {
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinhashSig].getName, "minhash_sig"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "minhash_sig(bases) takes 1 argument")
+        MinhashSig(args.head, a, b, p)
+      })
+  }
+}
