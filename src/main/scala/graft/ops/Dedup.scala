@@ -267,44 +267,27 @@ object Dedup {
     (v << 4) | ((d(7) & 0xffL) >>> 4)
   }
 
-  /** SimHash 60-bit signature. Token hashing happens SQL-side per the
+  /** SimHash 60-bit signature — a per-row projection, like
+    * [[minhashSignatures]]. Token hashing happens SQL-side per the
     * active [[HashFamily]] (codegen'd xxhash64 in production; md5-slice
-    * under Verify — bit-identical to [[md5Hash60]]); the bit-vote is a
-    * genuinely imperative loop, so it runs as a typed mapPartitions over
-    * the pre-hashed token arrays (per-row, narrow, no shuffle).
-    * Duplicate tokens vote repeatedly, as in the classic formulation.
-    * Zero-token documents are excluded: they carry no signal, and the
-    * all-zero signature would otherwise pair every empty doc with every
-    * doc whose low chunk happens to be 0.
+    * under Verify — bit-identical to [[md5Hash60]]); the bit-vote is the
+    * native codegen'd [[graft.spark.SimhashVote]] loop, which replaced
+    * the r02–r05 typed mapPartitions kernel (same loop, but no Dataset
+    * encoder boundary — that path deserialized every token-hash array
+    * into a boxed Seq[Long] — and no codegen fence). Duplicate tokens
+    * vote repeatedly, as in the classic formulation. Zero-token
+    * documents are excluded (the expression yields NULL): they carry no
+    * signal, and the all-zero signature would otherwise pair every empty
+    * doc with every doc whose low chunk happens to be 0.
     */
   def simhashes(spark: SparkSession, sfDir: String,
       fam: HashFamily = HashFamily.Xx64): DataFrame = {
-    import spark.implicits._
+    graft.spark.MinhashExpressions.registerSimhash(spark)
     docs(spark, sfDir)
       .selectExpr("doc_id",
-        s"""transform(filter(split(text, ${Tokenize.SparkWs}), x -> x != ''),
-           | t -> ${fam.hash60Sql("t")}) AS hs""".stripMargin.replace("\n", " "))
-      .as[(Long, Seq[Long])]
-      .mapPartitions { it =>
-        it.flatMap { case (id, hs) =>
-          if (hs.isEmpty) None
-          else {
-            val acc = new Array[Int](60)
-            hs.foreach { h =>
-              var b = 0
-              while (b < 60) {
-                if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
-                b += 1
-              }
-            }
-            var out = 0L
-            var b = 0
-            while (b < 60) { if (acc(b) > 0) out |= (1L << b); b += 1 }
-            Some((id, out))
-          }
-        }
-      }
-      .toDF("doc_id", "simhash")
+        s"""simhash_vote(transform(filter(split(text, ${Tokenize.SparkWs}), x -> x != ''),
+           | t -> ${fam.hash60Sql("t")})) AS simhash""".stripMargin.replace("\n", " "))
+      .filter(col("simhash").isNotNull)
   }
 
   /** SimHash near-dup: pigeonhole band join (4 × 15-bit chunks ⇒ any pair

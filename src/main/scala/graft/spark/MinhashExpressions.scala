@@ -98,6 +98,89 @@ case class MinhashSig(child: Expression, a: Array[Long], b: Array[Long], p: Long
   override def prettyName: String = "minhash_sig"
 }
 
+/** `simhash_vote(hs)` — the 60-bit SimHash bit-vote over a pre-hashed
+  * token array (duplicate tokens vote repeatedly), NULL for an empty
+  * array (zero-token docs carry no signal and an all-zero signature
+  * would chunk-pair every empty doc — see Dedup.simhashes).
+  *
+  * Replaces the r02–r05 typed `mapPartitions` kernel: same loop, but as
+  * a native expression it runs inside the scan stage's codegen — no
+  * Dataset encoder boundary (the old path deserialized every token-hash
+  * array into a boxed `Seq[Long]` — ~13.5 M boxed longs at sf0.1) and
+  * no codegen fence around the projection.
+  */
+case class SimhashVote(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"simhash_vote expects array<bigint>, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    if (n == 0) null
+    else {
+      val acc = new Array[Int](60)
+      var j = 0
+      while (j < n) {
+        val h = hs.getLong(j)
+        var b = 0
+        while (b < 60) {
+          acc(b) += (((h >>> b) & 1L).toInt << 1) - 1
+          b += 1
+        }
+        j += 1
+      }
+      var out = 0L
+      var b = 0
+      while (b < 60) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+      out
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, hs => {
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val h = ctx.freshName("h")
+      val j = ctx.freshName("j")
+      val b = ctx.freshName("b")
+      val out = ctx.freshName("out")
+      code"""
+        int $n = $hs.numElements();
+        if ($n == 0) {
+          ${ev.isNull} = true;
+        } else {
+          int[] $acc = new int[60];
+          for (int $j = 0; $j < $n; $j++) {
+            long $h = $hs.getLong($j);
+            for (int $b = 0; $b < 60; $b++) {
+              $acc[$b] += ((int) (($h >>> $b) & 1L) << 1) - 1;
+            }
+          }
+          long $out = 0L;
+          for (int $b = 0; $b < 60; $b++) {
+            if ($acc[$b] > 0) $out |= (1L << $b);
+          }
+          ${ev.value} = $out;
+        }
+      """.toString
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimhashVote =
+    copy(child = newChild)
+
+  override def prettyName: String = "simhash_vote"
+}
+
 object MinhashExpressions {
   /** Register `minhash_sig` with the given affine family (idempotent). */
   def register(spark: SparkSession, a: Array[Long], b: Array[Long], p: Long): Unit = {
@@ -107,6 +190,17 @@ object MinhashExpressions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "minhash_sig(bases) takes 1 argument")
         MinhashSig(args.head, a, b, p)
+      })
+  }
+
+  /** Register `simhash_vote` (idempotent). */
+  def registerSimhash(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("simhash_vote"),
+      new ExpressionInfo(classOf[SimhashVote].getName, "simhash_vote"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "simhash_vote(hs) takes 1 argument")
+        SimhashVote(args.head)
       })
   }
 }
