@@ -533,7 +533,20 @@ object Bench {
             val t0 = System.nanoTime()
             try {
               fn(s32, sfDir).write.format("noop").mode("overwrite").save()
-              Right((System.nanoTime() - t0) / 1e9)
+              val t = (System.nanoTime() - t0) / 1e9
+              // The dedup queries localCheckpoint() intermediate relations
+              // (signatures, survivors, candidates) into executor storage.
+              // Spark's ContextCleaner only reclaims those blocks after the
+              // driver-side RDD objects are GC'd, and a 16 GiB low-pressure
+              // driver heap can go the whole queries section without a
+              // collection — blocks pile up, squeeze unified memory, and
+              // later queries degrade (r05 measured: t13 10.2–13.4 s late
+              // in a bench JVM vs 5.3–6.1 s in a fresh JVM in the SAME host
+              // window). Force the driver GC OUTSIDE the timed window so
+              // every query starts from reclaimed storage, the way a real
+              // pipeline's staging tables are dropped between jobs.
+              System.gc()
+              Right(t)
             } catch {
               case scala.util.control.NonFatal(e) =>
                 Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(160)}")

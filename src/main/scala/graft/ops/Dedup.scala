@@ -295,10 +295,13 @@ object Dedup {
     */
   def simhashDedup(spark: SparkSession, sfDir: String, maxHamming: Int = 3,
       fam: HashFamily = HashFamily.Xx64): DataFrame = {
-    // chunked is referenced twice (both join sides) — materialize the
-    // 1-row-per-doc signature relation so the token-hash + bit-vote pass
-    // runs once (same rationale as minhashLshOnShingles).
-    val sh = simhashes(spark, sfDir, fam).localCheckpoint()
+    // The signature relation feeds the bucket expansion exactly ONCE
+    // (the chunk "join" is a groupBy expansion, not a self-join), so it
+    // is deliberately NOT materialized: scan → signature → posexplode →
+    // partial agg fuse into one codegen'd pass. (An earlier self-join
+    // formulation referenced it twice and checkpointed it; that
+    // materialization is pure overhead in this shape.)
+    val sh = simhashes(spark, sfDir, fam)
     val chunked = sh.selectExpr("doc_id", "simhash",
       "posexplode(transform(sequence(0, 3), c -> (simhash >> (c * 15)) & 32767))")
       .withColumnRenamed("pos", "chunk_idx")
@@ -501,16 +504,26 @@ object Dedup {
 
   /** Composite dedup pipeline — the shape a real pretraining corpus pass
     * takes: exact dedup first (cheap, kills the LSH skew floods), then
-    * MinHash+LSH candidates on the survivors, then exact n-gram Jaccard
-    * verification of candidates only, greedy min-id keeper. Output: one
-    * status row per document.
+    * MinHash+LSH band candidates on the survivors, then exact n-gram
+    * Jaccard verification of candidates only, greedy min-id keeper.
+    * Output: one status row per document.
+    *
+    * The candidate stage is [[lshCandidatePairs]] WITHOUT the
+    * signature-estimated-Jaccard pre-filter that standalone t6 reports:
+    * every candidate is exact-verified here anyway, so the est filter
+    * only changes WHICH pairs reach verification, and pruning them cost
+    * two joins against the full 1-row-per-doc signature relation (r05
+    * profile: ~1 s of t13's ~5.4 s at sf0.1; at 10^12 docs that is two
+    * extra shuffles of a ~500 TB relation to save verify work on the
+    * small band-candidate set — the wrong trade whenever candidates ≪
+    * corpus, which banding at 16×4 already guarantees).
     *
     * Scale: stage 1 is one hash shuffle; stage 2 the signature groupBy +
     * band join; stage 3 runs only on candidate pairs (broadcastable at
     * realistic dup rates) — never an all-pairs product.
     */
   def dedupPipeline(spark: SparkSession, sfDir: String,
-      estTh: Double = 0.5, jaccardTh: Double = 0.8,
+      jaccardTh: Double = 0.8,
       fam: HashFamily = HashFamily.Xx64): DataFrame = {
     val d = docs(spark, sfDir).select("doc_id", "text")
     val groups = d.groupBy(sha2(col("text"), 256).as("h"))
@@ -542,8 +555,8 @@ object Dedup {
     // explodes only the (small) candidate-doc subset, and materializing
     // the full exploded relation breaks the fused explode→partial-agg
     // pipeline. Recompute wins at every scale where candidates ≪ corpus.
-    val candidates = minhashLshOn(survivors, estTh, fam)
-      .select("id_a", "id_b").localCheckpoint()
+    val candidates = lshCandidatePairs(minhashSignatures(survivors, fam), fam)
+      .localCheckpoint()
     // Verification is PAIR-restricted (jaccardForPairs): the r04 shape
     // (standalone all-pairs jaccard over candidate docs, then semi-join)
     // was quadratic in near-dup cluster size — see jaccardForPairs doc.
@@ -661,9 +674,11 @@ object Dedup {
         |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3""".stripMargin,
     // Full composite-pipeline mirror (r04): every stage of t13 is now
     // DuckDB-expressible — sha256 exact dedup, the md5-affine MinHash
-    // candidates on survivors (est ≥ 0.5), df-capped Jaccard verification
-    // over candidate docs only (≥ 0.8), greedy min-id keeper — so the
-    // flagship pipeline gets rows+schema+hash instead of rows-only.
+    // band-share candidates on survivors (r05: no est-Jaccard pre-filter,
+    // matching dedupPipeline — see its scaladoc), df-capped Jaccard
+    // verification over candidate docs only (≥ 0.8), greedy min-id
+    // keeper — so the flagship pipeline gets rows+schema+hash instead of
+    // rows-only.
     "t13_dedup_pipeline" -> {
       val consts = (0 until NumHashes)
         .map(i => s"($i, ${MinhashA(i)}, ${MinhashB(i)})").mkString(", ")
@@ -697,18 +712,14 @@ object Dedup {
          |  FROM bases CROSS JOIN consts GROUP BY bases.doc_id, consts.i),
          |sigs AS (SELECT doc_id, list(h ORDER BY i) AS sig FROM mh GROUP BY doc_id),
          |bands AS (
-         |  SELECT doc_id, sig, bb.b AS b,
+         |  SELECT doc_id, bb.b AS b,
          |         concat_ws(',', sig[bb.b * 4 + 1], sig[bb.b * 4 + 2],
          |                        sig[bb.b * 4 + 3], sig[bb.b * 4 + 4]) AS bk
          |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 16)) AS b) bb),
-         |cand0 AS (
-         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
-         |         x.sig AS sig_a, y.sig AS sig_b
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
          |  FROM bands x JOIN bands y
          |    ON x.b = y.b AND x.bk = y.bk AND x.doc_id < y.doc_id),
-         |cand AS (
-         |  SELECT id_a, id_b FROM cand0
-         |  WHERE round(CAST(len(list_filter(range(1, 65), j -> sig_a[j] = sig_b[j])) AS DOUBLE) / 64, 4) >= 0.5),
          |cd AS (SELECT id_a AS doc_id FROM cand UNION SELECT id_b AS doc_id FROM cand),
          |csh0 AS (SELECT s.doc_id, s.shingle FROM ssh0 s JOIN cd USING (doc_id)),
          |hot AS (SELECT shingle FROM csh0 GROUP BY shingle HAVING count(*) > $DefaultMaxShingleDf),

@@ -238,7 +238,7 @@ class DedupSpec extends SparkSpec {
   }
 
   test("composite dedup pipeline: exact then near, greedy min-id keeper") {
-    val rows = Dedup.dedupPipeline(spark, plantedDir, estTh = 0.5, jaccardTh = 0.8)
+    val rows = Dedup.dedupPipeline(spark, plantedDir, jaccardTh = 0.8)
       .collect()
       .map(r => r.getAs[Long]("doc_id") ->
         ((r.getAs[String]("status"), Option(r.get(2)).map(_.asInstanceOf[Long]))))
