@@ -7,12 +7,14 @@ import graft.kernel.Clean
 
 /** The flagship pipeline (SURVEY.md §3.1/§4.2):
   *
-  *   scan(pages) → [resume anti-filter] → byte-aware salted repartition on an
-  *   explicit `pid` column → mapPartitions(extraction kernel) → extracted +
-  *   per-partition lineage.
+  *   scan(pages) → [resume anti-filter] → pid as a COLUMN (byte-aware
+  *   bucket count) → scan-local mapPartitions(extraction kernel) →
+  *   extracted rows clustered on pid at the WRITE + per-partition lineage.
   *
   * Scale posture (north rule, 10^12 docs):
-  *   - exactly ONE shuffle (the pid repartition); everything upstream is a
+  *   - ZERO shuffles before the kernel (r04 — see [[extract]]): the html
+  *     corpus is never repartitioned; the one narrow shuffle clusters the
+  *     much smaller EXTRACTED rows at the write. Everything upstream is a
   *     column-pruned scan + a hash on `url`.
   *   - `pid = pmod(xxhash64(url), P)` is computed as a COLUMN, so partition
   *     identity is a pure function of the row, independent of AQE coalescing
