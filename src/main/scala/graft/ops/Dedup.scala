@@ -362,16 +362,29 @@ object Dedup {
 
   def ngramJaccardOnShingles(sh: DataFrame, th: Double,
       maxDf: Int = DefaultMaxShingleDf): DataFrame = {
-    // The capped relation is referenced three times (sizes + both join
-    // sides) and the shingle explode is NOT exchange-reused across them
-    // (see minhashLshOnShingles): materialize the df-capped shingle
+    // The capped relation is referenced twice (sizes + the shingle
+    // grouping) and the shingle explode is NOT exchange-reused across
+    // them (see minhashLshOnShingles): materialize the df-capped shingle
     // relation once. At real scale this is the persisted shingle table
     // every production dedup pipeline stages anyway.
     val s = cappedShingles(sh, maxDf).localCheckpoint()
     val sizes = s.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val common = s.select(col("doc_id").as("id_a"), col("shingle"))
-      .join(s.select(col("doc_id").as("id_b"), col("shingle")), Seq("shingle"))
-      .filter(col("id_a") < col("id_b"))
+    // Co-shingle counts via ONE shuffle: group by shingle, expand i<j
+    // doc pairs within each group (same bucket-expansion shape as
+    // lshCandidatePairs / simhashDedup — identical pair multiset to the
+    // r04 shingle self-join, which exchanged the relation TWICE; at
+    // 100 TB this halves the widest shuffle of the standalone Jaccard
+    // job). The df cap bounds a group at maxDf ids, so the in-task k²
+    // expansion is bounded exactly as the join's biggest task group was.
+    val common = s
+      .groupBy(col("shingle"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .selectExpr(
+        """inline(flatten(transform(sequence(0, size(ids) - 2),
+          |  i -> transform(slice(ids, i + 2, size(ids) - i - 1),
+          |       x -> struct(ids[i] AS id_a, x AS id_b)))))"""
+          .stripMargin.replace("\n", " "))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("common"))
     common

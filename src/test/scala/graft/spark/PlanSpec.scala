@@ -31,6 +31,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("t8 co-shingle counting is one shingle shuffle, not a self-join") {
+    // r05: the co-shingle stage groups by shingle once and expands i<j
+    // pairs in-bucket. The r04 shape self-joined the capped relation —
+    // TWO exchanges of the widest relation in the job. Pin exactly one
+    // hashpartitioning on shingle and no join keyed by it.
+    val p = plan(graft.ops.Dedup.ngramJaccard(spark, sf001))
+    val shingleExchanges =
+      "hashpartitioning\\(shingle".r.findAllIn(p).length
+    assert(shingleExchanges == 1,
+      s"expected exactly 1 shingle exchange, got $shingleExchanges:\n$p")
+    assert(!"(SortMergeJoin|ShuffledHashJoin) \\[shingle".r
+      .unanchored.matches(p) && !p.contains("Join [shingle"),
+      s"shingle-keyed join found:\n${p.take(2000)}")
+  }
+
   test("per-row ops plan narrow: no shuffle anywhere, scans pruned") {
     // every per-row operator (token/quality/lang/fingerprint/repetition/
     // quantization) must stay a linear single-pass map — an Exchange in
