@@ -86,9 +86,11 @@ object HashFamily {
   *    skew-join handles the rest.
   *  - simhash: per-row 60-bit signature (no shuffle), then the 4×15-bit
   *    pigeonhole chunk join for hamming ≤ 3 — again equi-join, no all-pairs.
-  *  - n-gram Jaccard: exact verification join on shared shingles; meant to
-  *    run AFTER an LSH candidate filter at scale (here also standalone as
-  *    its own oracle-checked operator).
+  *  - n-gram Jaccard: co-shingle counts from ONE group-by-shingle shuffle
+  *    with in-bucket i<j pair expansion (r05 — the r04 shape self-joined
+  *    the shingle relation, exchanging it twice); the df cap bounds each
+  *    bucket. Meant to run AFTER an LSH candidate filter at scale (here
+  *    also standalone as its own oracle-checked operator).
   *  - embedding cosine: brute-force all-pairs is the small-scale baseline;
   *    the scale path is Similarity.annLsh (hyperplane buckets).
   *  - token/shingle hashing: pluggable [[HashFamily]] — codegen'd xxhash64

@@ -179,9 +179,9 @@ object Relational {
     * (`templates/image.html`), over synthesized inputs that exercise
     * every escapable character and both truncation branches. Django's
     * conditional_escape is a 5-step replace chain (& FIRST — order
-    * matters) identical in Spark and DuckDB. U7 (pdf) is excluded: its
-    * `|urlencode` percent-encoding has no SQL mirror; it stays golden-
-    * gated (`route_pdf`). UrlOpsSpec pins kernel == columns per row.
+    * matters) identical in Spark and DuckDB. U7 (pdf) lives in
+    * [[u7Pdf]] (r05): its `|urlencode` is mirrorable on an ASCII
+    * vocabulary. UrlOpsSpec pins kernel == columns per row.
     */
   def u5Templates(spark: SparkSession, sfDir: String): DataFrame = {
     // djangoEscape as a SQL fragment (same chain as Clean.djangoEscape)
@@ -219,6 +219,57 @@ object Relational {
       .select("doc_id", "docid", "vid", "img_url", "page_url",
         "gdocs_html", "youtube_html", "image_html")
   }
+
+  /** U7 — the pdf route template (`templates/pdf.html`, clean.py:128)
+    * as SQL string expressions (r05). The blocker was `|urlencode`
+    * (Django's quote, safe='/'): no SQL engine ships it. But quote's
+    * output alphabet on the synthesized ASCII vocabulary is exactly a
+    * 9-target single-char replace chain ('%XX' outputs never contain a
+    * target, inputs contain no '%'), identical in Spark and DuckDB —
+    * and quote leaves no `&<>"'` behind, so djangoEscape∘quote ≡ quote
+    * and the gview/samuraj hrefs embed the quoted url directly. The
+    * byte-level UTF-8 expansion of non-ASCII quote stays golden-gated
+    * (`route_pdf`); this oracle pins the template + the ASCII quote
+    * semantics three ways (kernel == Catalyst == DuckDB, UrlOpsSpec).
+    * Both url slices match the routing regex `\.pdf(\?|$)`
+    * (Clean.RePdf) — UrlOpsSpec asserts cleanInner routes them to the
+    * pdf template.
+    */
+  def u7Pdf(spark: SparkSession, sfDir: String): DataFrame = {
+    table(spark, sfDir, "documents")
+      .select(col("doc_id"))
+      .withColumn("pdf_url", expr(
+        """CASE WHEN doc_id % 2 = 0
+          |THEN concat('http://files', CAST(doc_id AS STRING), '.test/dir (v 2)/r&d''s,x=1.pdf')
+          |ELSE concat('http://files', CAST(doc_id AS STRING), '.test/a/b.pdf?q=c d&n=', CAST(doc_id AS STRING))
+          |END""".stripMargin.replace("\n", " ")))
+      .withColumn("pdf_enc", expr(quoteSql("pdf_url")))
+      .withColumn("pdf_html", expr(
+        s"""concat('<ul>\\n<li><a href="http://docs.google.com/gview?url=', pdf_enc,
+           | '&embedded=true">View PDF as Images</a> (via Google)</li>\\n',
+           | '<li><a href="http://view.samurajdata.se/ps.php?url=', pdf_enc,
+           | '">View PDF as Images</a> (via Samuraj Data)</li>\\n',
+           | '<li><a href="', ${escSql("pdf_url")}, '">Open PDF</a></li>\\n</ul>\\n')"""
+          .stripMargin.replace("\n", " ")))
+  }
+
+  /** Py.quote(safe='/') over the u7 ASCII vocabulary as a replace chain
+    * (shared verbatim between the Spark expr and the DuckDB oracle —
+    * both dialects escape ' as '' and need no other escaping here).
+    */
+  private def quoteSql(c: String): String =
+    s"""replace(replace(replace(replace(replace(replace(replace(replace(replace($c,
+       | ':', '%3A'), ' ', '%20'), '(', '%28'), ')', '%29'), '&', '%26'),
+       | '=', '%3D'), ',', '%2C'), '?', '%3F'), '''', '%27')"""
+      .stripMargin.replace("\n", " ")
+
+  /** djangoEscape as a SQL fragment — the same 5-step &-first chain as
+    * Clean.djangoEscape, dialect-shared like [[quoteSql]].
+    */
+  private def escSql(c: String): String =
+    s"""replace(replace(replace(replace(replace($c,
+       | '&', '&amp;'), '<', '&lt;'), '>', '&gt;'),
+       | '"', '&quot;'), '''', '&#x27;')""".stripMargin.replace("\n", " ")
 
   /** F4 — the reference's content choice (`util.py:133-149`,
     * FeedLogic.feedEntryContent) as array HOFs (r04): single content →
@@ -463,6 +514,24 @@ object Relational {
          |              E'</a>):<br>\\n<img src="', ${esc("img_url")}, E'">\\n') AS image_html
          |FROM t""".stripMargin
     },
+    // the quote/escape replace chains are dialect-shared (quoteSql/
+    // escSql) — only the url synthesis and E'' newlines differ
+    "u7_pdf" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 2 = 0
+         |         THEN concat('http://files', CAST(doc_id AS VARCHAR), '.test/dir (v 2)/r&d''s,x=1.pdf')
+         |         ELSE concat('http://files', CAST(doc_id AS VARCHAR), '.test/a/b.pdf?q=c d&n=', CAST(doc_id AS VARCHAR))
+         |         END AS pdf_url
+         |  FROM documents),
+         |q AS (SELECT doc_id, pdf_url, ${quoteSql("pdf_url")} AS pdf_enc FROM d)
+         |SELECT doc_id, pdf_url, pdf_enc,
+         |       concat(E'<ul>\\n<li><a href="http://docs.google.com/gview?url=', pdf_enc,
+         |              E'&embedded=true">View PDF as Images</a> (via Google)</li>\\n',
+         |              '<li><a href="http://view.samurajdata.se/ps.php?url=', pdf_enc,
+         |              E'">View PDF as Images</a> (via Samuraj Data)</li>\\n',
+         |              '<li><a href="', ${escSql("pdf_url")}, E'">Open PDF</a></li>\\n</ul>\\n') AS pdf_html
+         |FROM q""".stripMargin,
     "f4_content_choice" ->
       """WITH d AS (
         |  SELECT doc_id,
@@ -502,6 +571,7 @@ object Relational {
     "q1_lineage_agg" -> ((s, d) => q1LineageAgg(s, d)),
     "u1_url_ops" -> ((s, d) => u1UrlOps(s, d)),
     "u5_templates" -> ((s, d) => u5Templates(s, d)),
+    "u7_pdf" -> ((s, d) => u7Pdf(s, d)),
     "f3_entry_match" -> ((s, d) => f3EntryMatch(s, d)),
     "f4_content_choice" -> ((s, d) => f4ContentChoice(s, d))
   )

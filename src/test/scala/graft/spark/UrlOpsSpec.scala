@@ -64,6 +64,30 @@ class UrlOpsSpec extends SparkSpec {
       .forall(r.getAs[String]("gdocs_html").contains)))
   }
 
+  test("u7 pdf template: SQL quote chain == Py.quote, html == kernel pdfTemplate") {
+    val rows = Relational.u7Pdf(spark, sf001).collect()
+    assert(rows.length >= 500)
+    rows.foreach { r =>
+      val url = r.getAs[String]("pdf_url")
+      assert(r.getAs[String]("pdf_enc") == graft.kernel.Py.quote(url),
+        s"U7 quote mismatch for $url")
+      assert(r.getAs[String]("pdf_html") == Clean.pdfTemplate(url),
+        s"U7 template mismatch for $url")
+      // the synthesized urls actually take the pdf route end-to-end
+      val (routedUrl, html, note) = Clean.cleanInner(url, "")
+      assert(note == "pdf" && routedUrl == url &&
+        html == r.getAs[String]("pdf_html"),
+        s"U7 route mismatch for $url")
+    }
+    // both routing-regex branches exercised: bare .pdf$ and .pdf?query
+    assert(rows.exists(_.getAs[String]("pdf_url").endsWith(".pdf")))
+    assert(rows.exists(_.getAs[String]("pdf_url").contains(".pdf?")))
+    // every chained quote target appears in some url (chain fully exercised)
+    for (ch <- ": ()&=,?'")
+      assert(rows.exists(_.getAs[String]("pdf_url").contains(ch.toString)),
+        s"quote target '$ch' never synthesized")
+  }
+
   test("f4 content choice: array HOF CASE == kernel feedEntryContent per slice") {
     val rows = Relational.f4ContentChoice(spark, sf001).collect()
     assert(rows.length >= 500)
