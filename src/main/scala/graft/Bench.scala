@@ -61,6 +61,14 @@ object Bench {
     */
   val LegCapSecs = 150
 
+  /** Queries sampled 3× per artifact window (median reported, runs in
+    * `query_stats`): the multi-second dedup family, which executes at the
+    * END of the name-sorted queries section where window decay lands.
+    */
+  val SampledQueries: Set[String] = Set(
+    "t6_minhash_lsh", "t7_simhash_dedup", "t8_ngram_jaccard",
+    "t13_dedup_pipeline")
+
   // Section reserves (seconds) — how much budget later sections need.
   // Sized from round-2 measurements: queries ≈ 26 × (warm+measured) ≈ 180 s
   // plus one session; headline ≤ 3 × local[32] legs ≈ 60 s; thread pairs
@@ -325,7 +333,7 @@ object Bench {
     var execPairs: Vector[SPair] = Vector.empty
     var execDocs = 0L
     var sectionsDone: List[String] = Nil
-    var t13Runs: Vector[Double] = Vector.empty
+    var queryRuns: Seq[(String, Vector[Double])] = Nil
     var fatal: Option[String] = None
     @volatile var finalPrinted = false
 
@@ -418,16 +426,18 @@ object Bench {
       val threadMedian = medianOf(threadPairs)
       val threadRole =
         if (threadMedian >= 0.8) "corroborating" else "calibration_only"
-      // t13 repeat-run stats (VERDICT r04 task 4): the only multi-second
-      // query — median/min/max from one artifact window names its variance.
-      val t13Json =
-        if (t13Runs.isEmpty) ""
-        else {
-          val sortedRuns = t13Runs.sorted
-          s""""t13_stats":{"runs":${t13Runs.map(f).mkString("[", ",", "]")},""" +
+      // Repeat-run stats for the multi-second queries (VERDICT r04 task 4,
+      // generalized r05 from t13 alone to the dedup family): each sampled
+      // query carries its in-window runs + median/min/max, so the artifact
+      // names its own variance — the `queries` map holds the median.
+      val statsJson =
+        if (queryRuns.isEmpty) ""
+        else queryRuns.map { case (name, runs) =>
+          val sortedRuns = runs.sorted
+          s""""$name":{"runs":${runs.map(f).mkString("[", ",", "]")},""" +
             s""""median":${f(sortedRuns(sortedRuns.length / 2))},""" +
-            s""""min":${f(sortedRuns.head)},"max":${f(sortedRuns.last)}},"""
-        }
+            s""""min":${f(sortedRuns.head)},"max":${f(sortedRuns.last)}}"""
+        }.mkString("\"query_stats\":{", ",", "},")
       val gate =
         s""""gate_summary":{"headline_docs_per_sec":${f(tp32)},"headline_mb_per_sec":${f(mbps)},""" +
           s""""exec_best_eff":${f(execBest)},"exec_median_eff":${f(medianOf(execPairs))},""" +
@@ -438,7 +448,7 @@ object Bench {
       s"""{"metric":"extract_docs_per_sec@local[32]","value":${f(tp32)},"unit":"docs/sec","queries":$qs,"query_errors":$qErrs,"sf":"$sfDir",""" +
         s""""budget":{"budget_secs":${f(budgetSecs)},"elapsed_secs":${f(elapsed)},"partial":$partial,"sections_done":${sectionsDone.reverse.map(s => s""""$s"""").mkString("[", ",", "]")}}$fatalJson,""" +
         s""""extract":{"docs":$n32,"repl":$repl,"corpus_bytes":$bytes,"avg_page_bytes":${if (n32 > 0) bytes / n32 else 0},"local32_secs":${f(t32)},"local32_docs_per_sec":${f(tp32)},"local32_mb_per_sec":${f(mbps)}},""" +
-        s""""scaling":$scaling,"scaling_executors":$scalingExec,$t13Json$gate}"""
+        s""""scaling":$scaling,"scaling_executors":$scalingExec,$statsJson$gate}"""
     }
 
     def write(partial: Boolean): Unit = {
@@ -553,10 +563,12 @@ object Bench {
             }
           }
           once() // warmup (codegen/classload amortizes to zero at scale)
-          if (name == "t13_dedup_pipeline") {
-            // The one multi-second query: sample it 3× inside this window
-            // so the artifact names its own variance (VERDICT r04 task 4 —
-            // r04 carried an unexplained 9.5–82 s spread across artifacts).
+          if (SampledQueries(name)) {
+            // The multi-second dedup-family queries are sampled 3× inside
+            // this window so the artifact names its own variance (VERDICT
+            // r04 task 4, generalized r05: these run LAST in sorted name
+            // order, where a degrading host window lands hardest — r05
+            // artifacts carried single draws of t6 spanning 1.46–4.05 s).
             // The reported timing is the MEDIAN of the in-window runs.
             var runs = Vector.empty[Double]
             var errOut: Option[String] = None
@@ -568,7 +580,7 @@ object Bench {
               }
               k += 1
             }
-            State.t13Runs = runs
+            State.queryRuns :+= (name -> runs)
             acc += name -> (errOut match {
               case Some(e) => Left(e)
               case None    => Right(runs.sorted.apply(runs.length / 2))

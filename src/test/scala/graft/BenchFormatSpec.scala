@@ -17,17 +17,19 @@ class BenchFormatSpec extends AnyFunSuite {
     */
   private def render(partial: Boolean): String = {
     val st = Bench.State
-    val (sfDir0, headline0, queries0, t13_0) =
-      (st.sfDir, st.headline, st.queries, st.t13Runs)
+    val (sfDir0, headline0, queries0, runs0) =
+      (st.sfDir, st.headline, st.queries, st.queryRuns)
     try {
       st.sfDir = "/root/testdata/sf0.1"
       st.headline = Some((20000L, 1.25, 360000000L))
       st.queries = Seq("q_ok" -> Right(0.5), "q_bad" -> Left("boom: \"quoted\"\nline"))
-      st.t13Runs = Vector(5.1, 4.9, 5.6)
+      st.queryRuns = Seq(
+        "t13_dedup_pipeline" -> Vector(5.1, 4.9, 5.6),
+        "t6_minhash_lsh" -> Vector(1.5, 1.7, 1.6))
       st.toJson(partial)
     } finally {
       st.sfDir = sfDir0; st.headline = headline0
-      st.queries = queries0; st.t13Runs = t13_0
+      st.queries = queries0; st.queryRuns = runs0
     }
   }
 
@@ -55,13 +57,17 @@ class BenchFormatSpec extends AnyFunSuite {
     }
   }
 
-  test("t13 stats block: median/min/max from the in-window runs") {
+  test("query_stats blocks: median/min/max per sampled query") {
     val parsed = org.json4s.jackson.JsonMethods.parse(render(partial = false))
-    val stats = (parsed \ "t13_stats").asInstanceOf[org.json4s.JObject].obj.toMap
-    assert(stats.keySet == Set("runs", "median", "min", "max"))
-    assert(stats("median") == org.json4s.JDouble(5.1))
-    assert(stats("min") == org.json4s.JDouble(4.9))
-    assert(stats("max") == org.json4s.JDouble(5.6))
+    val t13 = (parsed \ "query_stats" \ "t13_dedup_pipeline")
+      .asInstanceOf[org.json4s.JObject].obj.toMap
+    assert(t13.keySet == Set("runs", "median", "min", "max"))
+    assert(t13("median") == org.json4s.JDouble(5.1))
+    assert(t13("min") == org.json4s.JDouble(4.9))
+    assert(t13("max") == org.json4s.JDouble(5.6))
+    val t6 = (parsed \ "query_stats" \ "t6_minhash_lsh")
+      .asInstanceOf[org.json4s.JObject].obj.toMap
+    assert(t6("median") == org.json4s.JDouble(1.6))
   }
 
   test("thread_role labels a sub-gate thread median as calibration_only") {
