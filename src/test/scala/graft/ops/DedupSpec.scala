@@ -76,6 +76,44 @@ class DedupSpec extends SparkSpec {
     assert(keys.forall { case (a, b) => Set(a, b).subsetOf(Set(0L, 1L, 2L)) })
   }
 
+  test("t17 incremental: planted batch finds its corpus dups, corpus never self-pairs") {
+    // plantedDir batch slice (doc_id % 4 == 0) = {0, 4}; corpus = {1, 2, 3}.
+    // doc1 is doc0's exact dup and doc2 its near dup — both standing
+    // corpus, so both must surface as 'corpus' hits of new doc 0; tiny
+    // doc4 matches nothing; the (1,2) corpus-corpus pair must NOT appear.
+    for (fam <- Seq(HashFamily.Xx64, HashFamily.Md5Mirror)) {
+      val rows = Dedup.minhashIncremental(spark, plantedDir, th = 0.5, fam = fam)
+        .collect()
+        .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("dup_of"),
+          r.getAs[String]("source")))
+        .toSet
+      assert(rows == Set((0L, 1L, "corpus"), (0L, 2L, "corpus")),
+        s"incremental $fam: $rows")
+    }
+  }
+
+  test("t17 incremental == minhashLsh pairs touching the batch, re-oriented") {
+    // On the real synthesized table: restricting the full-corpus LSH pair
+    // set to pairs with at least one batch doc and re-orienting each as
+    // (new_id, dup_of) must reproduce t17 exactly — est_jaccard included.
+    val full = Dedup.minhashLsh(spark, sf001, th = 0.5).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("est_jaccard")))
+    val expected = full.flatMap { case (a, b, e) =>
+      (a % 4 == 0, b % 4 == 0) match {
+        case (true, true)  => Some((b, a, e, "batch")) // earlier id wins
+        case (true, false) => Some((a, b, e, "corpus"))
+        case (false, true) => Some((b, a, e, "corpus"))
+        case _             => None
+      }
+    }.toSet
+    val got = Dedup.minhashIncremental(spark, sf001, th = 0.5).collect()
+      .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("dup_of"),
+        r.getAs[Double]("est_jaccard"), r.getAs[String]("source"))).toSet
+    assert(got == expected, s"diff: ${(got diff expected) ++ (expected diff got)}")
+    assert(got.nonEmpty, "vacuous equivalence: no pair touches the batch slice")
+  }
+
   test("simhash: identical docs get identical signatures; near dups within hamming 3") {
     val pairs = Dedup.simhashDedup(spark, plantedDir, maxHamming = 3)
       .collect()

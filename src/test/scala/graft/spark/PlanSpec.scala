@@ -21,6 +21,7 @@ class PlanSpec extends SparkSpec {
       graft.ops.Dedup.simhashDedup(spark, sf001),
       graft.ops.Dedup.embeddingCosine(spark, sf001),
       graft.ops.Dedup.dedupPipeline(spark, sf001),
+      graft.ops.Dedup.minhashIncremental(spark, sf001),
       graft.ops.Similarity.annLsh(spark, sf001),
       graft.ops.Similarity.annIvf(spark, sf001))
     for (q <- qs) {
@@ -29,6 +30,18 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("BroadcastNestedLoopJoin"),
         s"nested loop in:\n${p.take(2000)}")
     }
+  }
+
+  test("t17 incremental: the batch's bands broadcast into the corpus probe") {
+    // the continuous-ingest contract: the standing corpus (the 100 TB
+    // side) is probed map-side by the bounded batch — a shuffled join
+    // keyed on the band would exchange the corpus band table every ingest
+    val p = plan(graft.ops.Dedup.minhashIncremental(spark, sf001))
+    assert(p.contains("BroadcastHashJoin [band_idx"),
+      s"batch bands not broadcast:\n${p.take(3000)}")
+    assert(!"(SortMergeJoin|ShuffledHashJoin) \\[band_idx".r
+      .unanchored.matches(p),
+      s"corpus band table shuffled for the probe:\n${p.take(3000)}")
   }
 
   test("t8 co-shingle counting is one shingle shuffle, not a self-join") {
