@@ -330,6 +330,40 @@ object Dedup {
       .filter(col("est_jaccard") >= th)
   }
 
+  /** t19 — benchmark DECONTAMINATION: flag corpus documents that share
+    * n-gram content with an evaluation/benchmark set, the standard
+    * pre-training hygiene pass. The benchmark here is the deterministic
+    * slice `doc_id % 97 == 0` (~1%, non-vacuous: 207 (doc, eval) pairs
+    * share a shingle at sf0.01); everything else is corpus.
+    *
+    * Output: (doc_id, eval_id, n_shared) — one row per corpus doc ×
+    * benchmark doc sharing ≥ `minShared` DISTINCT 3-token shingles.
+    *
+    * Scale shape: benchmark sets are tiny (MBs) against a 100 TB corpus,
+    * so the eval shingle relation is BROADCAST and the corpus shingle
+    * stream is probed map-side — the corpus is never shuffled; the
+    * group-by carries only the matched pairs (PlanSpec pins the
+    * BroadcastHashJoin). Production would join on the shingle's 64-bit
+    * hash to shrink the broadcast (a collision only adds a conservative
+    * flag); the raw string join is kept here for exact oracle semantics.
+    */
+  def decontaminate(spark: SparkSession, sfDir: String,
+      minShared: Long = 1): DataFrame = {
+    val d = docs(spark, sfDir).select("doc_id", "text")
+    decontaminateOn(
+      d.filter(col("doc_id") % 97 === 0),
+      d.filter(col("doc_id") % 97 =!= 0), minShared)
+  }
+
+  def decontaminateOn(evalDocs: DataFrame, corpus: DataFrame,
+      minShared: Long): DataFrame =
+    shingles(corpus)
+      .join(broadcast(shingles(evalDocs).withColumnRenamed("doc_id", "eval_id")),
+        Seq("shingle"))
+      .groupBy(col("doc_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+
   /** 60-bit token hash matching `('0x' || substr(md5(t), 1, 15))::BIGINT`
     * in DuckDB: the first 15 hex chars of the md5 digest are bytes 0..6
     * plus the HIGH nibble of byte 7 (VERDICT r03 task 2 follow-on — the
@@ -687,6 +721,7 @@ object Dedup {
     "t7_simhash_dedup" -> ((s, d) => simhashDedup(s, d, fam = HashFamily.of(s))),
     "t8_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
     "t17_incremental_dedup" -> ((s, d) => minhashIncremental(s, d, fam = HashFamily.of(s))),
+    "t19_decontamination" -> ((s, d) => decontaminate(s, d)),
     "t9_embed_cosine_dups" -> ((s, d) => embeddingCosine(s, d)),
     "t13_dedup_pipeline" -> ((s, d) => dedupPipeline(s, d, fam = HashFamily.of(s)))
   )
@@ -748,6 +783,17 @@ object Dedup {
          |       round(CAST(len(list_filter(range(1, 65), j -> sig_a[j] = sig_b[j])) AS DOUBLE) / 64, 4) AS est_jaccard
          |FROM cand
          |WHERE round(CAST(len(list_filter(range(1, 65), j -> sig_a[j] = sig_b[j])) AS DOUBLE) / 64, 4) >= 0.5""".stripMargin,
+    // Decontamination mirror: distinct-shingle overlap counts between the
+    // benchmark slice and the corpus — the join is on the raw shingle, so
+    // the mirror is family-independent.
+    "t19_decontamination" ->
+      s"""WITH $ShingleCtes,
+         |ev AS (SELECT doc_id AS eval_id, shingle FROM sh0 WHERE doc_id % 97 = 0),
+         |co AS (SELECT doc_id, shingle FROM sh0 WHERE doc_id % 97 <> 0)
+         |SELECT co.doc_id, ev.eval_id, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM co JOIN ev USING (shingle)
+         |GROUP BY co.doc_id, ev.eval_id
+         |HAVING count(*) >= 1""".stripMargin,
     // Incremental mirror: the SAME band relation, but candidates are
     // restricted to pairs touching the batch slice (doc_id % 4 = 0) and
     // oriented (new_id, dup_of) — corpus-vs-corpus never pairs.

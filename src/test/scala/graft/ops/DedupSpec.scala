@@ -114,6 +114,18 @@ class DedupSpec extends SparkSpec {
     assert(got.nonEmpty, "vacuous equivalence: no pair touches the batch slice")
   }
 
+  test("t19 decontamination: planted benchmark doc flags its dups, not distinct docs") {
+    // plantedDir benchmark slice (doc_id % 97 == 0) = {0}; corpus =
+    // {1, 2, 3, 4}. doc1 (exact dup) shares ALL of doc0's 238 distinct
+    // shingles; doc2 (near dup, 2 appended tokens) shares those plus has
+    // 2 novel ones; doc3 (distinct vocab) and doc4 (no common shingle)
+    // must not be flagged.
+    val rows = Dedup.decontaminate(spark, plantedDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("eval_id"),
+        r.getAs[Long]("n_shared"))).toSet
+    assert(rows == Set((1L, 0L, 238L), (2L, 0L, 238L)), s"got: $rows")
+  }
+
   test("simhash: identical docs get identical signatures; near dups within hamming 3") {
     val pairs = Dedup.simhashDedup(spark, plantedDir, maxHamming = 3)
       .collect()

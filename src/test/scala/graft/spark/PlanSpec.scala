@@ -32,6 +32,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("t19 decontamination: benchmark shingles broadcast, corpus never shuffled on shingle") {
+    // benchmark sets are MBs against a 100 TB corpus: the eval shingle
+    // relation must broadcast and the corpus shingle stream be probed
+    // map-side — only the matched pairs reach the group-by
+    val p = plan(graft.ops.Dedup.decontaminate(spark, sf001))
+    assert(p.contains("BroadcastHashJoin [shingle"),
+      s"eval shingles not broadcast:\n${p.take(3000)}")
+    assert(!"(SortMergeJoin|ShuffledHashJoin) \\[shingle".r
+      .unanchored.matches(p),
+      s"corpus shingles shuffled for the probe:\n${p.take(3000)}")
+  }
+
   test("t17 incremental: the batch's bands broadcast into the corpus probe") {
     // the continuous-ingest contract: the standing corpus (the 100 TB
     // side) is probed map-side by the bounded batch — a shuffled join
