@@ -56,6 +56,7 @@ object SparkEntry {
     graft.spark.Relational.queries ++
       graft.ops.TextOps.queries ++
       graft.ops.Dedup.queries ++
+      graft.ops.Sampling.queries ++
       graft.ops.Similarity.queries ++
       graft.ops.Multimodal.queries ++
       Map(
@@ -85,6 +86,7 @@ object SparkEntry {
     graft.spark.Relational.oracles ++
       graft.ops.TextOps.oracles ++
       graft.ops.Dedup.oracles ++
+      graft.ops.Sampling.oracles ++
       graft.ops.Similarity.oracles
 
   /** Superset of `oracleSql` including the oracles that can only be

@@ -83,6 +83,7 @@ class PlanSpec extends SparkSpec {
       "t5" -> graft.ops.TextOps.fingerprint(spark, sf001),
       "t15" -> graft.ops.TextOps.repetition(spark, sf001),
       "t16" -> graft.ops.Similarity.quantizeInt8(spark, sf001),
+      "t18" -> graft.ops.Sampling.stratifiedSample(spark, sf001),
       "u1" -> Relational.u1UrlOps(spark, sf001),
       "u5" -> Relational.u5Templates(spark, sf001),
       "f4" -> Relational.f4ContentChoice(spark, sf001))
@@ -101,6 +102,9 @@ class PlanSpec extends SparkSpec {
     val p16 = plan(graft.ops.Similarity.quantizeInt8(spark, sf001))
     assert(p16.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"),
       s"t16 scan not pruned to (vec_id, embedding):\n$p16")
+    val p18 = plan(graft.ops.Sampling.stratifiedSample(spark, sf001))
+    assert(p18.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
+      s"t18 scan not pruned to (doc_id, lang):\n$p18")
   }
 
   test("f3 entry match resolves with one grouped argmin (map-side partial)") {
