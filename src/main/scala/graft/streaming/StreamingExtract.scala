@@ -144,6 +144,71 @@ object StreamingExtract {
       }
   }
 
+  /** One LSH band-bucket candidate emitted by [[nearDupCandidateStream]]:
+    * the arriving doc paired against a doc already resident in the same
+    * (band_idx, band_hash) bucket. `dup_of` arrived strictly earlier (or
+    * earlier-in-batch by doc_id), so with arrival in doc_id order the
+    * DISTINCT (dup_of, new_id) set equals the batch
+    * [[graft.ops.Dedup.lshCandidatePairs]] (id_a, id_b) set —
+    * StreamingSpec pins the equivalence.
+    */
+  final case class BandCandidate(new_id: Long, dup_of: Long, band_idx: Int)
+
+  /** Per-bucket state: doc ids resident in this band bucket, oldest
+    * first, capped at `maxBucket`.
+    */
+  final case class BucketState(ids: List[Long])
+
+  /** Streaming MinHash-LSH candidate generation — the §2.10 analogue of
+    * the batch t6/t17 candidate stage: signatures per-row (the codegen'd
+    * `minhash_sig` expression evaluates fine on a streaming relation),
+    * bands exploded per-row, then ONE stateful shuffle keyed by the band
+    * bucket. State per bucket is the resident doc-id list and nothing
+    * else (signatures stay OUT of the state store — est_jaccard
+    * verification joins the persisted signature table downstream, e.g.
+    * in foreachBatch, exactly like the batch pipeline's verify stage).
+    *
+    * A flood bucket would grow state unboundedly, so residency is capped
+    * at `maxBucket` (the state-store analogue of t8's hot-shingle df
+    * cap): overflow docs still PAIR against the resident ids — candidate
+    * recall degrades gracefully from quadratic to linear in the flood —
+    * but are not stored. At 10^12 docs the state store holds ≤
+    * maxBucket · buckets ids, and each arriving doc costs at most
+    * bands · maxBucket emitted pairs.
+    */
+  def nearDupCandidateStream(
+      docs: DataFrame,
+      fam: graft.ops.HashFamily = graft.ops.HashFamily.Xx64,
+      maxBucket: Int = 1000): Dataset[BandCandidate] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.ops.Dedup.lshBands(graft.ops.Dedup.minhashSignatures(docs, fam), fam)
+      // the bucket key stringifies band_hash so both families (long under
+      // xx64, string under the md5 mirror) share one state schema
+      .selectExpr(
+        "concat(cast(band_idx AS string), '|', cast(band_hash AS string)) AS bucket",
+        "doc_id", "band_idx")
+      .as[(String, Long, Int)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[BucketState, BandCandidate](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (_: String, evs: Iterator[(String, Long, Int)],
+            state: GroupState[BucketState]) =>
+          val prior = state.getOption.map(_.ids).getOrElse(Nil)
+          val seen = scala.collection.mutable.LinkedHashSet(prior: _*)
+          val out = List.newBuilder[BandCandidate]
+          // earlier-in-batch by doc_id ≡ earlier arrival for a source
+          // that feeds docs in id order (the equivalence the spec pins)
+          for ((_, id, bidx) <- evs.toVector.distinct.sortBy(_._2)
+               if !seen.contains(id)) {
+            for (p <- seen) out += BandCandidate(id, p, bidx)
+            if (seen.size < maxBucket) seen += id
+          }
+          state.update(BucketState(seen.toList))
+          out.result().iterator
+      }
+  }
+
   /** One fetch outcome observed on the stream. */
   final case class FetchEvent(feed_url: String, fetch_time: Double, new_items: Int)
 

@@ -7,6 +7,11 @@ import graft.kernel.Clean
 import graft.spark.{Page, PagesGen, SparkSpec}
 import graft.streaming.StreamingExtract.{FetchEvent, FeedState}
 
+/** Top-level so Spark can derive a clean Product encoder (local case
+  * classes capture the suite's outer pointer and break encoding).
+  */
+case class NearDupDoc(doc_id: Long, text: String)
+
 class StreamingSpec extends SparkSpec {
 
   test("streaming extraction matches the kernel per micro-batch") {
@@ -144,6 +149,59 @@ class StreamingSpec extends SparkSpec {
     assert(finalRows == batch,
       s"stream-end retained set diverges from batch d3: " +
         s"only-stream=${(finalRows -- batch).take(5)} only-batch=${(batch -- finalRows).take(5)}")
+  }
+
+  test("streaming near-dup candidates: stream-end pair set equals batch LSH candidates") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => NearDupDoc(r.getLong(0), r.getString(1)))
+      .sortBy(_.doc_id) // arrival in id order: earlier arrival == smaller id
+    val source = MemoryStream[NearDupDoc]
+    val q = StreamingExtract.nearDupCandidateStream(source.toDF())
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode("update").start()
+    docs.grouped(docs.length / 3 + 1).foreach { chunk =>
+      source.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("neardup_out")
+      .as[StreamingExtract.BandCandidate].collect()
+      .map(c => (c.dup_of, c.new_id)).toSet
+    val batch = graft.ops.Dedup.lshCandidatePairs(
+        graft.ops.Dedup.minhashSignatures(
+          spark.read.parquet(s"$sf001/documents.parquet").select("doc_id", "text")))
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(streamed == batch,
+      s"only-stream=${(streamed -- batch).take(5)} only-batch=${(batch -- streamed).take(5)}")
+    assert(streamed.nonEmpty, "vacuous: no candidate pairs in the corpus")
+  }
+
+  test("streaming near-dup: bucket state cap degrades recall linearly, never quadratically") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    // 6 identical docs land in the same buckets in every band: uncapped
+    // they pair quadratically (15 pairs); with maxBucket=2 only the two
+    // resident ids can be a dup_of — each later arrival emits exactly 2
+    val flood = (0L until 6L).map(i =>
+      NearDupDoc(i, "alpha beta gamma delta epsilon zeta"))
+    val source = MemoryStream[NearDupDoc]
+    val q = StreamingExtract.nearDupCandidateStream(source.toDF(), maxBucket = 2)
+      .writeStream.format("memory").queryName("neardup_cap_out")
+      .outputMode("update").start()
+    source.addData(flood)
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("neardup_cap_out")
+      .as[StreamingExtract.BandCandidate].collect()
+      .map(c => (c.dup_of, c.new_id)).toSet
+    assert(pairs == Set((0L, 1L), (0L, 2L), (1L, 2L), (0L, 3L), (1L, 3L),
+      (0L, 4L), (1L, 4L), (0L, 5L), (1L, 5L)),
+      s"capped pair set wrong: $pairs")
   }
 
   test("pure transition clamps to [3600, 259200]") {
