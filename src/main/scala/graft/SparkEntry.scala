@@ -57,6 +57,7 @@ object SparkEntry {
       graft.ops.TextOps.queries ++
       graft.ops.Dedup.queries ++
       graft.ops.Sampling.queries ++
+      graft.ops.Curation.queries ++
       graft.ops.Similarity.queries ++
       graft.ops.Multimodal.queries ++
       Map(
@@ -87,6 +88,7 @@ object SparkEntry {
       graft.ops.TextOps.oracles ++
       graft.ops.Dedup.oracles ++
       graft.ops.Sampling.oracles ++
+      graft.ops.Curation.oracles ++
       graft.ops.Similarity.oracles
 
   /** Superset of `oracleSql` including the oracles that can only be

@@ -41,7 +41,7 @@ object Sampling {
     */
   val Rates: Seq[(String, Long)] = Seq("en" -> 300000L, "zh" -> 800000L)
 
-  private def thresholdSql: String =
+  private[ops] def thresholdSql: String =
     Rates.foldRight(BucketSpace.toString) { case ((l, r), acc) =>
       s"CASE WHEN lang = '$l' THEN $r ELSE $acc END"
     }
@@ -51,11 +51,20 @@ object Sampling {
     stratifiedSampleOn(
       spark.read.parquet(s"$sfDir/documents.parquet"), fam)
 
+  /** The per-doc sampling bucket as a SQL fragment (Spark dialect, per
+    * family); [[bucketSqlDuck]] is the DuckDB md5-mirror twin — both are
+    * reused verbatim by the t20 curation funnel.
+    */
+  private[ops] def bucketSql(fam: HashFamily): String =
+    s"(${fam.base31Sql(s"concat('$Salt', CAST(doc_id AS STRING))")} % $BucketSpace)"
+
+  private[ops] def bucketSqlDuck: String =
+    s"((('0x' || substr(md5(concat('$Salt', CAST(doc_id AS VARCHAR))), 1, 8))::BIGINT & 2147483647) % $BucketSpace)"
+
   def stratifiedSampleOn(docs: DataFrame,
       fam: HashFamily = HashFamily.Xx64): DataFrame =
     docs
-      .selectExpr("doc_id", "lang",
-        s"(${fam.base31Sql(s"concat('$Salt', CAST(doc_id AS STRING))")} % $BucketSpace) AS bucket")
+      .selectExpr("doc_id", "lang", s"${bucketSql(fam)} AS bucket")
       .filter(expr(s"bucket < $thresholdSql"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -67,9 +76,7 @@ object Sampling {
     // md5-family mirror: same salt, same base31 slice, same thresholds.
     "t18_stratified_sample" ->
       s"""WITH b AS (
-         |  SELECT doc_id, lang,
-         |         (('0x' || substr(md5(concat('$Salt', CAST(doc_id AS VARCHAR))), 1, 8))::BIGINT
-         |          & 2147483647) % $BucketSpace AS bucket
+         |  SELECT doc_id, lang, $bucketSqlDuck AS bucket
          |  FROM documents)
          |SELECT doc_id, lang, bucket FROM b
          |WHERE bucket < $thresholdSql""".stripMargin

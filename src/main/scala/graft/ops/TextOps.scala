@@ -19,7 +19,7 @@ object TextOps {
   def docs(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
 
-  private val Toks = s"filter(split(text, ${Tokenize.SparkWs}), x -> x != '')"
+  private[ops] val Toks = s"filter(split(text, ${Tokenize.SparkWs}), x -> x != '')"
 
   /** Token counting: whitespace tokens + a BPE-ish sub-token regex
     * (letter runs / digit runs / single other symbol).
@@ -31,7 +31,7 @@ object TextOps {
       s"CAST(size($Toks) AS BIGINT) AS n_tokens",
       s"CAST(size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9${Tokenize.SparkWsChars}]', 0)) AS BIGINT) AS n_subtokens")
 
-  private val Stop = Map(
+  private[ops] val Stop = Map(
     "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "that", "for", "it"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
     "fr" -> Seq("le", "la", "les", "et", "est", "pas", "pour", "que", "dans", "une"),
@@ -39,7 +39,7 @@ object TextOps {
     "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我", "他", "这"))
 
   private def arr(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("array(", ",", ")")
-  private def hits(l: String) =
+  private[ops] def hits(l: String) =
     s"size(filter(filter(split(lower(text), ${Tokenize.SparkWs}), x -> x != ''), x -> array_contains(${arr(Stop(l))}, x)))"
 
   /** Quality scoring: length, word stats, punctuation & stopword ratios —
