@@ -25,7 +25,10 @@ import org.apache.spark.sql.functions._
   * only join in the whole funnel attaches the dedup verdict, which
   * needs its own shuffling job no matter what. At 100 TB that is the
   * plan you want: one pass for everything per-row, plus the dedup
-  * pipeline you were running anyway.
+  * pipeline you were running anyway. (Here the funnel CALLS
+  * [[Dedup.dedupPipeline]] so the query is self-contained for the
+  * driver; a production run joins the dedup lineage TABLE the pipeline
+  * already persisted — ICEBERG.md §5 — rather than recomputing it.)
   *
   * The component semantics (and their DuckDB mirrors) are REUSED
   * verbatim: the oracle embeds the t4 / t3 / t13 oracle SQL as
