@@ -58,6 +58,7 @@ object SparkEntry {
       graft.ops.Dedup.queries ++
       graft.ops.Sampling.queries ++
       graft.ops.Curation.queries ++
+      graft.ops.Export.queries ++
       graft.ops.Similarity.queries ++
       graft.ops.Multimodal.queries ++
       Map(
@@ -89,6 +90,7 @@ object SparkEntry {
       graft.ops.Dedup.oracles ++
       graft.ops.Sampling.oracles ++
       graft.ops.Curation.oracles ++
+      graft.ops.Export.oracles ++
       graft.ops.Similarity.oracles
 
   /** Superset of `oracleSql` including the oracles that can only be

@@ -84,6 +84,7 @@ class PlanSpec extends SparkSpec {
       "t15" -> graft.ops.TextOps.repetition(spark, sf001),
       "t16" -> graft.ops.Similarity.quantizeInt8(spark, sf001),
       "t18" -> graft.ops.Sampling.stratifiedSample(spark, sf001),
+      "t21" -> graft.ops.Export.shardAssign(spark, sf001),
       "u1" -> Relational.u1UrlOps(spark, sf001),
       "u5" -> Relational.u5Templates(spark, sf001),
       "f4" -> Relational.f4ContentChoice(spark, sf001))
@@ -105,6 +106,9 @@ class PlanSpec extends SparkSpec {
     val p18 = plan(graft.ops.Sampling.stratifiedSample(spark, sf001))
     assert(p18.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
       s"t18 scan not pruned to (doc_id, lang):\n$p18")
+    val p21 = plan(graft.ops.Export.shardAssign(spark, sf001))
+    assert(p21.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"t21 scan not pruned to doc_id:\n$p21")
   }
 
   test("f3 entry match resolves with one grouped argmin (map-side partial)") {
