@@ -59,6 +59,7 @@ object SparkEntry {
       graft.ops.Sampling.queries ++
       graft.ops.Curation.queries ++
       graft.ops.Export.queries ++
+      graft.ops.Packing.queries ++
       graft.ops.Similarity.queries ++
       graft.ops.Multimodal.queries ++
       Map(
@@ -91,6 +92,7 @@ object SparkEntry {
       graft.ops.Sampling.oracles ++
       graft.ops.Curation.oracles ++
       graft.ops.Export.oracles ++
+      graft.ops.Packing.oracles ++
       graft.ops.Similarity.oracles
 
   /** Superset of `oracleSql` including the oracles that can only be
