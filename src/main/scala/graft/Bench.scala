@@ -431,9 +431,15 @@ object Bench {
       // generalized r05 from t13 alone to the dedup family): each sampled
       // query carries its in-window runs + median/min/max, so the artifact
       // names its own variance — the `queries` map holds the median.
+      // Empty runs vectors are filtered defensively: a sampled query that
+      // errors on its first measured run records only a query_errors entry,
+      // and an unguarded median over an empty vector here would throw from
+      // the UNPROTECTED final toJson / shutdown-hook path and erase the
+      // whole artifact (ADVICE r05).
+      val nonEmptyRuns = queryRuns.filter(_._2.nonEmpty)
       val statsJson =
-        if (queryRuns.isEmpty) ""
-        else queryRuns.map { case (name, runs) =>
+        if (nonEmptyRuns.isEmpty) ""
+        else nonEmptyRuns.map { case (name, runs) =>
           val sortedRuns = runs.sorted
           s""""$name":{"runs":${runs.map(f).mkString("[", ",", "]")},""" +
             s""""median":${f(sortedRuns(sortedRuns.length / 2))},""" +
@@ -581,7 +587,7 @@ object Bench {
               }
               k += 1
             }
-            State.queryRuns :+= (name -> runs)
+            if (runs.nonEmpty) State.queryRuns :+= (name -> runs)
             acc += name -> (errOut match {
               case Some(e) => Left(e)
               case None    => Right(runs.sorted.apply(runs.length / 2))

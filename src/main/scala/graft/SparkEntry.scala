@@ -10,7 +10,8 @@ import graft.spark.{ExtractJob, PagesGen}
   * Query naming: d* = reference dataflow ops (SURVEY.md §2.9), q1 = lineage
   * aggregate, t* = training-data pipeline ops (dedup / similarity / text /
   * multimodal), x* = the extraction pipeline itself (kernel — not
-  * SQL-expressible, rows-only checks).
+  * SQL-expressible, but fully oracle-checked at verify scale via the
+  * driver-recompute VALUES oracles in [[graft.spark.ExtractOracle]]).
   */
 object SparkEntry {
 
@@ -80,10 +81,10 @@ object SparkEntry {
         |FROM (SELECT url, extract_readable(url, html) AS r FROM graft_pages)""".stripMargin)
   }
 
-  /** DuckDB oracles for every SQL-expressible query above; kernel-backed
-    * ops (x1/x2/x3) and the media decoder (t12) are rows-only — the only
-    * remaining ones (r04: t5/t6/t7/t13 gained static oracles and
-    * t9/t11/t14 full mirrors, the latter two via `oracleSqlDynamic`).
+  /** Static DuckDB oracles for every SQL-expressible query above. The
+    * kernel-backed queries (x1/x2/x3) and the media decoder (t12) get
+    * driver-recompute VALUES oracles via `oracleSqlDynamic` instead
+    * (r06: zero rows-only queries left at verify scale).
     */
   def oracleSql: Map[String, String] =
     graft.spark.Relational.oracles ++
@@ -97,8 +98,10 @@ object SparkEntry {
 
   /** Superset of `oracleSql` including the oracles that can only be
     * authored with the corpus in hand (t14/t9 inline their trained IVF
-    * centroids — engine-derived constants; see
-    * Similarity.dynamicOracles). Verify dumps THIS map.
+    * centroids — engine-derived constants; t12 and x1/x2/x3 inline
+    * driver-recomputed expected rows — see Similarity.dynamicOracles,
+    * Multimodal.dynamicOracles, spark.ExtractOracle). Verify dumps THIS
+    * map.
     */
   def oracleSqlDynamic(spark: SparkSession, sfDir: String): Map[String, String] =
     oracleSql ++ {
@@ -107,7 +110,8 @@ object SparkEntry {
       // writes oracle_sql.json and zero the whole correctness round
       try graft.ops.Similarity.dynamicOracles(spark, sfDir) ++
         graft.ops.Dedup.dynamicOracles(spark, sfDir) ++
-        graft.ops.Multimodal.dynamicOracles(spark, sfDir)
+        graft.ops.Multimodal.dynamicOracles(spark, sfDir) ++
+        graft.spark.ExtractOracle.dynamicOracles(spark, sfDir)
       catch {
         case scala.util.control.NonFatal(e) =>
           System.err.println(s"[oracles] dynamic oracles skipped: ${e.getMessage}")

@@ -93,8 +93,11 @@ object DedupProfileCli {
         .select("doc_id", "text").localCheckpoint()
       println(f"CKPT  survivors ${(System.nanoTime() - t0s) / 1e9}%6.2f s")
       val t0c = System.nanoTime()
-      val candidates = Dedup.minhashLshOn(survivors, 0.5, fam)
-        .select("id_a", "id_b").localCheckpoint()
+      // bare band-bucket candidates off the signature relation — the r05
+      // dedupPipeline shape (no est-Jaccard pre-filter; ADVICE r05)
+      val candidates = Dedup
+        .lshCandidatePairs(Dedup.minhashSignatures(survivors, fam), fam)
+        .localCheckpoint()
       println(f"CKPT  candidates ${(System.nanoTime() - t0c) / 1e9}%6.2f s")
       val candDocs = survivors.join(
         candidates.selectExpr("id_a AS doc_id")
