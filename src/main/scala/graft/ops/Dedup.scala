@@ -195,10 +195,11 @@ object Dedup {
     // sig-fetch joins ×2) and Spark's ReuseExchange does NOT deduplicate
     // the subtrees (r05 profile: 4 full shingle-scan+signature passes,
     // ~3× the single-pass cost). Signatures are 1 row/doc × ~520 B —
-    // negligible next to the corpus — so materialize them ONCE:
-    // localCheckpoint here; a persisted signature table at real scale
-    // (the standard shape for production MinHash pipelines).
-    val sig = minhashSignatures(docsDf, fam).localCheckpoint()
+    // negligible next to the corpus — so materialize them ONCE
+    // (Staging: localCheckpoint by default; a durable parquet staging
+    // table when `graft.staging.dir` is set — the persisted signature
+    // table every production MinHash pipeline stages anyway).
+    val sig = Staging.materialize(minhashSignatures(docsDf, fam), "t6_signatures")
     // Band key per the family (HashFamily.bandKeySql): an 8-byte long in
     // production, the comma-joined values verbatim under the mirror (the
     // oracle must reproduce the exact candidate set).
@@ -305,9 +306,24 @@ object Dedup {
       th: Double, fam: HashFamily = HashFamily.Xx64): DataFrame = {
     // Both signature relations are referenced twice (bands + sig-fetch);
     // materialize once, same rationale as minhashLshOn. The corpus one
-    // stands in for the persisted signature table of prior ingests.
-    val batchSig = minhashSignatures(batch, fam).localCheckpoint()
-    val corpusSig = minhashSignatures(corpus, fam).localCheckpoint()
+    // stands in for the persisted signature table of prior ingests —
+    // [[minhashIncrementalOnSigs]] is the production entry point that
+    // takes that table directly (IncrementalDedupSpec's two-batch drill
+    // runs it against an actually-persisted parquet signature table and
+    // pins pair-set equality with this recompute path).
+    val batchSig = Staging.materialize(minhashSignatures(batch, fam), "t17_batch_sig")
+    val corpusSig = Staging.materialize(minhashSignatures(corpus, fam), "t17_corpus_sig")
+    minhashIncrementalOnSigs(batchSig, corpusSig, th, fam)
+  }
+
+  /** t17 over ALREADY-MATERIALIZED signature relations — the shape a real
+    * ingest runs: `corpusSig` is the persisted signature table prior
+    * ingests appended to (the corpus text is never re-read or
+    * re-shingled), `batchSig` the new batch's signatures (computed fresh,
+    * then appended to the same table for the next ingest).
+    */
+  def minhashIncrementalOnSigs(batchSig: DataFrame, corpusSig: DataFrame,
+      th: Double, fam: HashFamily = HashFamily.Xx64): DataFrame = {
     val newVsCorpus = lshBands(corpusSig, fam)
       .join(broadcast(lshBands(batchSig, fam)
           .withColumnRenamed("doc_id", "new_id")),
@@ -481,7 +497,7 @@ object Dedup {
     // them (see minhashLshOnShingles): materialize the df-capped shingle
     // relation once. At real scale this is the persisted shingle table
     // every production dedup pipeline stages anyway.
-    val s = cappedShingles(sh, maxDf).localCheckpoint()
+    val s = Staging.materialize(cappedShingles(sh, maxDf), "t8_capped_shingles")
     val sizes = s.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     // Co-shingle counts via ONE shuffle: group by shingle, expand i<j
     // doc pairs within each group (same bucket-expansion shape as
@@ -662,19 +678,19 @@ object Dedup {
       .filter(col("doc_id") =!= col("keep_id"))
       .select(col("doc_id"), lit("exact-dup").as("status"), col("keep_id").as("dup_of"))
     // survivors feeds three branches (candidates, verification, keep-list);
-    // localCheckpoint (not cache) so the exact-dedup stage isn't recomputed
+    // materialize (not cache) so the exact-dedup stage isn't recomputed
     // per branch AND the logical plan is truncated at this point: .cache()
     // keeps the full logical subtree, and because every downstream stage
     // references survivors/candidates several times, the t13 plan tree
     // grew combinatorially (r05 profile: 576 parquet-scan nodes, ~5 s of
     // DRIVER-SIDE planning per action — the real cause of the r04 t13
     // regression and its 82 s cold-driver outlier, not the md5 hash).
-    // At real scale this is a persisted intermediate table (reliable
-    // checkpoint / Iceberg staging table), which truncates the same way.
-    val survivors = withKeeper
+    // Staging.materialize: localCheckpoint by default; the durable
+    // staging-table path under `graft.staging.dir` (r05 task 4) is the
+    // reliable form a real cluster needs — both truncate the same way.
+    val survivors = Staging.materialize(withKeeper
       .filter(col("doc_id") === col("keep_id"))
-      .select("doc_id", "text")
-      .localCheckpoint()
+      .select("doc_id", "text"), "t13_survivors")
     // NB the shingle relation is deliberately NOT cached/shared between
     // the signature and verify stages: r03 measured sharing it (cache of
     // the exploded ~n×1.5k-row relation) at 4× SLOWER than recomputing —
@@ -682,8 +698,9 @@ object Dedup {
     // explodes only the (small) candidate-doc subset, and materializing
     // the full exploded relation breaks the fused explode→partial-agg
     // pipeline. Recompute wins at every scale where candidates ≪ corpus.
-    val candidates = lshCandidatePairs(minhashSignatures(survivors, fam), fam)
-      .localCheckpoint()
+    val candidates = Staging.materialize(
+      lshCandidatePairs(minhashSignatures(survivors, fam), fam),
+      "t13_candidates")
     // Verification is PAIR-restricted (jaccardForPairs): the r04 shape
     // (standalone all-pairs jaccard over candidate docs, then semi-join)
     // was quadratic in near-dup cluster size — see jaccardForPairs doc.
@@ -701,8 +718,9 @@ object Dedup {
       .select(col("doc_id"), lit("near-dup").as("status"), col("dup_of"))
     // removed is referenced twice (the keep-list anti-join AND the final
     // union) — without materialization the whole verification stage runs
-    // twice. It is tiny (dup rows only), so checkpoint it.
-    val removed = exactRemoved.unionByName(nearRemoved).localCheckpoint()
+    // twice. It is tiny (dup rows only), so materialize it.
+    val removed = Staging.materialize(
+      exactRemoved.unionByName(nearRemoved), "t13_removed")
     d.select("doc_id")
       .join(removed, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), lit("kept").as("status"),

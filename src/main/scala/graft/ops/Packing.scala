@@ -52,13 +52,28 @@ object Packing {
     val parts = math.max(spark.sparkContext.defaultParallelism, 8)
     // materialized so BOTH passes see the exact same partitions — the
     // offsets are keyed by partition id, and re-running the range
-    // sampler between passes must not be able to move a row (a persisted
-    // staging table at real scale, like the dedup pipeline's)
-    val ranged = df.select(col("doc_id"), col("n_tokens"))
-      .repartitionByRange(parts, col("doc_id"))
-      .sortWithinPartitions("doc_id")
-      .as[(Long, Long)]
-      .localCheckpoint()
+    // sampler between passes must not be able to move a row. Default:
+    // range-partition then localCheckpoint (pins the partitions
+    // executor-locally). Staging mode (`graft.staging.dir`, r05 task 4):
+    // persist the INPUT relation first, then range-partition the
+    // read-back WITHOUT a checkpoint — the single RDD value below holds
+    // one ShuffleDependency, so both passes reuse the same map outputs
+    // (the range sampler runs once per RDD instance), and the durable
+    // parquet input makes any recompute deterministic. Staging is
+    // applied before the range shuffle, not after, because a parquet
+    // read-back re-packs files into splits by size (FilePartition
+    // bin-packing), which would NOT preserve the range-partition
+    // boundaries the offset math keys on.
+    val base = df.select(col("doc_id"), col("n_tokens"))
+    val ranged = {
+      val src =
+        if (Staging.enabled(df)) Staging.materialize(base, "t22_pack_input")
+        else base
+      val r = src.repartitionByRange(parts, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .as[(Long, Long)]
+      if (Staging.enabled(df)) r else r.localCheckpoint()
+    }
     // phase 1+2: per-partition totals (P rows) to the driver. NB the
     // partition id must come from mapPartitionsWithIndex, NOT
     // TaskContext.getPartitionId(): the latter is the TASK's id, and a

@@ -85,4 +85,28 @@ class CurationSpec extends SparkSpec {
     // the funnel is non-degenerate on the real corpus
     assert(status.values.toSet.size >= 4, s"statuses: ${status.values.toSet}")
   }
+
+  test("persisted-verdict funnel == inline recompute funnel (production shape identity)") {
+    // VERDICT r05 task 2: the driver query persists the dedup verdicts
+    // and joins the read-back; this pins that the production shape and
+    // the self-contained recompute shape answer identically.
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.get(2)))).toSet
+    assert(rows(Curation.funnel(spark, sf001)) ==
+      rows(Curation.funnelInline(spark, sf001)))
+  }
+
+  test("funnel honors graft.staging.dir for the verdict table") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-staging").toString
+    spark.conf.set(Staging.ConfKey, dir)
+    try {
+      val got = Curation.funnel(spark, sf001).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      val base = Curation.funnelInline(spark, sf001).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == base)
+      assert(new java.io.File(dir).listFiles()
+        .exists(_.getName.startsWith("t20_dedup_verdicts")))
+    } finally spark.conf.unset(Staging.ConfKey)
+  }
 }

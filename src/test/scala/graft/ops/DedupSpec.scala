@@ -356,4 +356,24 @@ class DedupSpec extends SparkSpec {
     val again = Multimodal.mediaFeatures(spark, sf001).collect()
     assert(rows.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
   }
+
+  test("staging mode (graft.staging.dir): t13/t6 identical to localCheckpoint mode") {
+    // VERDICT r05 task 4: localCheckpoint blocks are executor-local and
+    // not fault-tolerant; the durable write-to-parquet staging path must
+    // answer identically so real clusters can run it.
+    def t13() = Dedup.dedupPipeline(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.get(2)))).toSet
+    def t6() = Dedup.minhashLsh(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val (base13, base6) = (t13(), t6())
+    val dir = java.nio.file.Files.createTempDirectory("graft-staging").toString
+    spark.conf.set(Staging.ConfKey, dir)
+    try {
+      assert(t13() == base13)
+      assert(t6() == base6)
+      val staged = new java.io.File(dir).listFiles().map(_.getName)
+      assert(staged.exists(_.startsWith("t13_survivors")), staged.mkString(","))
+      assert(staged.exists(_.startsWith("t6_signatures")), staged.mkString(","))
+    } finally spark.conf.unset(Staging.ConfKey)
+  }
 }

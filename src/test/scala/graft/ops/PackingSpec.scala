@@ -49,4 +49,43 @@ class PackingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!p.contains("Window"), s"single-partition window in plan:\n${p.take(2000)}")
   }
+
+  test("staging mode (graft.staging.dir) produces identical packing") {
+    val base = Packing.sequencePack(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft-staging").toString
+    spark.conf.set(Staging.ConfKey, dir)
+    try {
+      val staged = Packing.sequencePack(spark, sf001).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(staged == base)
+      // the staging table was actually written
+      assert(new java.io.File(dir).listFiles().exists(_.getName.startsWith("t22_pack_input")))
+    } finally spark.conf.unset(Staging.ConfKey)
+  }
+
+  test("cross-sequence boundaries: doc spanning 3+ sequences next to a zero-token doc") {
+    // VERDICT r05 task 7: the oracle covers this numerically; this named
+    // case makes the boundary intent survive a refactor. seqLen = 10:
+    //   doc 1 (5 tokens)  starts at 0   -> seq 0, offset 0
+    //   doc 2 (35 tokens) starts at 5   -> seq 0, offset 5; its tokens
+    //     span sequences 0,1,2,3 (ends at 40) — >= 3 sequence crossings
+    //   doc 3 (0 tokens)  starts at 40  -> seq 4, offset 0 (the empty doc
+    //     advances nothing and lands exactly on the next doc's position)
+    //   doc 4 (7 tokens)  starts at 40  -> seq 4, offset 0 (same slot)
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 5L), (2L, 35L), (3L, 0L), (4L, 7L))
+      .toDF("doc_id", "n_tokens")
+    val got = Packing.sequencePackOn(df, seqLen = 10L).collect()
+      .map(r => (r.getLong(0), (r.getAs[Long]("cum_before"),
+        r.getAs[Long]("seq_id"), r.getAs[Long]("seq_offset")))).toMap
+    assert(got == Map(
+      1L -> ((0L, 0L, 0L)),
+      2L -> ((5L, 0L, 5L)),
+      3L -> ((40L, 4L, 0L)),
+      4L -> ((40L, 4L, 0L))))
+    // doc 2 genuinely crosses >= 3 sequence boundaries at seqLen 10
+    assert((5L + 35L - 1) / 10L - 5L / 10L >= 3)
+  }
 }

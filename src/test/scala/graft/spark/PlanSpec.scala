@@ -257,4 +257,17 @@ class PlanSpec extends SparkSpec {
     assert(rows.map(r => (r.partition_id, r.input_count, r.ok_count, r.fail_count)).toSeq
       == Seq((0, 1L, 1L, 0L), (1, 1L, 0L, 1L)))
   }
+
+  test("t20 funnel plan contains ONE dedup job: no second signature/banding stage") {
+    // VERDICT r05 task 2: the driver query persists the dedup verdicts
+    // and joins the read-back, so the FUNNEL plan itself must contain no
+    // sha256 exact-dedup stage and no minhash signature/banding stage —
+    // at 100 TB an inline recompute would double the most expensive job
+    // in the pipeline.
+    val p = plan(graft.ops.Curation.funnel(spark, sf001))
+    assert(!p.contains("sha2"), s"second exact-dedup stage in funnel plan:\n${p.take(2000)}")
+    assert(!p.contains("minhash_sig"), s"second signature stage in funnel plan:\n${p.take(2000)}")
+    // the verdict side is a plain parquet scan of the staged table
+    assert(p.contains("t20_dedup_verdicts"), "funnel does not scan the persisted verdict table")
+  }
 }
