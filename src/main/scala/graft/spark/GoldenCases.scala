@@ -430,7 +430,30 @@ object GoldenCases {
       ("<html><head><title>fixture</title></head><body>" +
         s"""<div class="storyblock"><p>中文測試內容這是一個測試頁面 zw1 $WinText</p><p>$WinText</p></div>""" +
         "</body></html>").getBytes("Big5"),
-      mustContain = Seq("中文測試", "一個", "zw1"))
+      mustContain = Seq("中文測試", "一個", "zw1")),
+    // PINNED DEVIATION #1 (VERDICT r05 task 5; SURVEY §0.1): kana-free
+    // all-kanji EUC-JP — no SS2/SS3, 0% kana rows, Hangul-row lead ratio
+    // 0.76 < 0.9, no low trails — falls through EUC-JP/EUC-KR/Big5 and
+    // lands on GBK (double-high majority). The mojibake below is that
+    // CURRENT verdict frozen: a cascade refactor that silently moves this
+    // rare corner (the right answer would be EUC-JP) now fails loudly.
+    GCase("enc_eucjp_kanji_gbk_pin", "http://fixtures.test/enc/eucjpkanji",
+      ("<html><head><title>fixture</title></head><body>" +
+        s"""<div class="storyblock"><p>日本語試験記事本文内容演習問題文章構造解析結果報告書類提出期限厳守 zw1 $WinText</p><p>$WinText</p></div>""" +
+        "</body></html>").getBytes("EUC-JP"),
+      mustContain = Seq("泣塑胳活", "zw1"), // the EUC-JP bytes read as GBK
+      mustNotContain = Seq("日本語試験")),
+    // PINNED DEVIATION #2 (VERDICT r05 task 5; SURVEY §0.1): GBK text
+    // dominated by low-trail GBK/4 extension hanzi (outside GB2312) —
+    // every pair walks Big5 (lead A1-F9, trail 40-7E) and the ≥1-low-
+    // trail rule fires, so Big5 claims the stream before the GBK branch
+    // can. CURRENT verdict frozen as Big5 mojibake.
+    GCase("enc_gbk_lowtrail_big5_pin", "http://fixtures.test/enc/gbklowtrail",
+      ("<html><head><title>fixture</title></head><body>" +
+        s"""<div class="storyblock"><p>狜狝狟狢狣狤狥狦狧狪狫狵狶狹狽狾狿猀猂猄猅猆猇猈猉猋猌猍猏猐 zw1 $WinText</p><p>$WinText</p></div>""" +
+        "</body></html>").getBytes("GBK"),
+      mustContain = Seq("昇服朋杭", "zw1"), // the GBK bytes read as Big5
+      mustNotContain = Seq("狜狝狟狢"))
   )
 
   // ---------------------------------------------------------- degenerate/

@@ -251,4 +251,16 @@ class CleanSpec extends AnyFunSuite {
     assert(noShy(r.content).contains("the comment body text"))
     assert(!r.content.contains("drop"))
   }
+
+  test("pinned cascade corners: kana-free kanji EUC-JP -> GBK; low-trail GBK -> Big5") {
+    // The two documented residual chardet deviations (SURVEY §0.1,
+    // VERDICT r05 task 5), pinned at the detector level so a cascade
+    // refactor that moves them fails here AND at the byte-golden.
+    val kanjiJp = "日本語試験記事本文内容演習問題文章構造解析結果報告書類提出期限厳守"
+    val d1 = Clean.detectEastAsian(kanjiJp.getBytes("EUC-JP"))
+    assert(d1.map(_.name) == Some("GBK"), s"corner 1 moved: $d1")
+    val extHanzi = "狜狝狟狢狣狤狥狦狧狪狫狵狶狹狽狾狿猀猂猄猅猆猇猈猉猋猌猍猏猐"
+    val d2 = Clean.detectEastAsian(extHanzi.getBytes("GBK"))
+    assert(d2.map(_.name) == Some("Big5"), s"corner 2 moved: $d2")
+  }
 }
