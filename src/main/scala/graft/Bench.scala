@@ -51,6 +51,18 @@ object Bench {
 
   val EffLow = 0.30
   val EffHigh = 1.05
+
+  /** Window-relative headline health (VERDICT r05 task 3): a healthy
+    * local[32] headline leg must beat the same run's best 4-JVM×2-core
+    * executor level (8 cores on the same corpus shape) by at least this
+    * factor — r05's driver artifact sat at 1.15 in a throttled window and
+    * clean builder windows run 1.3-1.7. Below it the headline is judged
+    * throttle-contaminated: the run resamples within leftover budget and,
+    * if the ratio never clears, labels the artifact `throttled_window`
+    * instead of presenting the number as clean.
+    */
+  val HeadlineWindowFactor = 1.1
+  val MaxHeadlineLegs = 12
   val MaxLegsPerSection = 16
   val MinLegsPerSection = 3
   /** Cap on one multi-JVM executor level (spawn→barrier→timed window).
@@ -325,6 +337,7 @@ object Bench {
   private[graft] object State {
     var sfDir = ""
     var headline: Option[(Long, Double, Long)] = None // docs, secs, bytes
+    var headlineLegSecs: Vector[Double] = Vector.empty // every local[32] leg
     var repl = 4
     var queries: Seq[(String, Either[String, Double])] = Nil
     var threadLegs: Vector[Leg] = Vector.empty
@@ -427,6 +440,18 @@ object Bench {
       val threadMedian = medianOf(threadPairs)
       val threadRole =
         if (threadMedian >= 0.8) "corroborating" else "calibration_only"
+      // Window-relative headline health (VERDICT r05 task 3): compare the
+      // best local[32] leg against the run's own best 4-JVM executor
+      // level — the in-run reference that moves WITH host throttle.
+      val jvm4Tp = execLegs
+        .filter(l => l.level == 4 && l.err.isEmpty && l.secs > 0)
+        .map(l => l.docs / l.secs)
+        .maxOption.getOrElse(-1.0)
+      val headlineRatio = if (jvm4Tp > 0 && tp32 > 0) tp32 / jvm4Tp else -1.0
+      val headlineWindow =
+        if (headlineRatio < 0) "no_reference"
+        else if (headlineRatio >= HeadlineWindowFactor) "clean"
+        else "throttled_window"
       // Repeat-run stats for the multi-second queries (VERDICT r04 task 4,
       // generalized r05 from t13 alone to the dedup family): each sampled
       // query carries its in-window runs + median/min/max, so the artifact
@@ -447,6 +472,8 @@ object Bench {
         }.mkString("\"query_stats\":{", ",", "},")
       val gate =
         s""""gate_summary":{"headline_docs_per_sec":${f(tp32)},"headline_mb_per_sec":${f(mbps)},""" +
+          s""""headline_attempts":${headlineLegSecs.size},"headline_vs_jvm4":${f(headlineRatio)},""" +
+          s""""headline_window":"$headlineWindow",""" +
           s""""exec_best_eff":${f(execBest)},"exec_median_eff":${f(medianOf(execPairs))},""" +
           s""""exec_pairs":${execPairs.size},"exec_gate_pass":${execPairs.exists(_.gateClean)},""" +
           s""""thread_best_eff":${f(threadBest)},"thread_median_eff":${f(threadMedian)},""" +
@@ -454,7 +481,7 @@ object Bench {
           s""""elapsed_secs":${f(elapsed)},"partial":$partial}"""
       s"""{"metric":"extract_docs_per_sec@local[32]","value":${f(tp32)},"unit":"docs/sec","queries":$qs,"query_errors":$qErrs,"sf":"$sfDir",""" +
         s""""budget":{"budget_secs":${f(budgetSecs)},"elapsed_secs":${f(elapsed)},"partial":$partial,"sections_done":${sectionsDone.reverse.map(s => s""""$s"""").mkString("[", ",", "]")}}$fatalJson,""" +
-        s""""extract":{"docs":$n32,"repl":$repl,"corpus_bytes":$bytes,"avg_page_bytes":${if (n32 > 0) bytes / n32 else 0},"local32_secs":${f(t32)},"local32_docs_per_sec":${f(tp32)},"local32_mb_per_sec":${f(mbps)}},""" +
+        s""""extract":{"docs":$n32,"repl":$repl,"corpus_bytes":$bytes,"avg_page_bytes":${if (n32 > 0) bytes / n32 else 0},"local32_secs":${f(t32)},"local32_docs_per_sec":${f(tp32)},"local32_mb_per_sec":${f(mbps)},"leg_secs":${headlineLegSecs.map(f).mkString("[", ",", "]")}},""" +
         s""""scaling":$scaling,"scaling_executors":$scalingExec,$statsJson$gate}"""
     }
 
@@ -531,6 +558,7 @@ object Bench {
       var i = 0
       while (i < 3 && (i == 0 || remaining > QueriesReserve + 40)) {
         val (n, t) = leg(32, bigDir, warm = i == 0)
+        State.headlineLegSecs :+= t
         if (best.forall(_._2 > t)) best = Some((n, t))
         i += 1
       }
@@ -670,6 +698,45 @@ object Bench {
           State.write(partial = true)
         }
         if (rLegs.nonEmpty) State.sectionsDone ::= "scaling_resample"
+      }
+
+      // --- headline resample (VERDICT r05 task 3): the headline gets the
+      // same protection the exec pairs have. Health is WINDOW-RELATIVE —
+      // the best local[32] leg must beat this run's own best 4-JVM
+      // executor level (8 cores, same corpus shape) by
+      // HeadlineWindowFactor; the reference moves with host throttle, so
+      // the check is immune to absolute host speed. While unhealthy and
+      // budget remains, sample more legs (they land minutes apart,
+      // spanning throttle waves) and keep the best; if the ratio never
+      // clears, gate_summary labels the artifact `throttled_window`
+      // instead of presenting the number as clean.
+      locally {
+        def jvm4Tp = State.execLegs
+          .filter(l => l.level == 4 && l.err.isEmpty && l.secs > 0)
+          .map(l => l.docs / l.secs).maxOption.getOrElse(-1.0)
+        def bestTp = State.headline
+          .collect { case (n, t, _) if t > 0 => n / t }.getOrElse(-1.0)
+        var attempts = State.headlineLegSecs.size
+        var worstLeg = 15.0
+        var resampled = false
+        while (jvm4Tp > 0 && bestTp < HeadlineWindowFactor * jvm4Tp &&
+            attempts < MaxHeadlineLegs &&
+            remaining > worstLeg * 1.2 + 10) {
+          val t0 = elapsed
+          attempts += 1
+          try {
+            val (n, t) = leg(32, bigDir, warm = false)
+            State.headlineLegSecs :+= t
+            if (State.headline.forall(_._2 > t))
+              State.headline = Some((n, t, bigBytes))
+          } catch {
+            case scala.util.control.NonFatal(_) => // errored leg: attempts bounds retries
+          }
+          worstLeg = math.max(worstLeg, elapsed - t0)
+          resampled = true
+          State.write(partial = true)
+        }
+        if (resampled) State.sectionsDone ::= "headline_resample"
       }
     } catch {
       case scala.util.control.NonFatal(e) =>

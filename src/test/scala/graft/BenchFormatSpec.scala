@@ -17,19 +17,21 @@ class BenchFormatSpec extends AnyFunSuite {
     */
   private def render(partial: Boolean): String = {
     val st = Bench.State
-    val (sfDir0, headline0, queries0, runs0) =
-      (st.sfDir, st.headline, st.queries, st.queryRuns)
+    val (sfDir0, headline0, queries0, runs0, legs0) =
+      (st.sfDir, st.headline, st.queries, st.queryRuns, st.headlineLegSecs)
     try {
       st.sfDir = "/root/testdata/sf0.1"
       st.headline = Some((20000L, 1.25, 360000000L))
+      st.headlineLegSecs = Vector(1.40, 1.25, 1.31)
       st.queries = Seq("q_ok" -> Right(0.5), "q_bad" -> Left("boom: \"quoted\"\nline"))
       st.queryRuns = Seq(
         "t13_dedup_pipeline" -> Vector(5.1, 4.9, 5.6),
-        "t6_minhash_lsh" -> Vector(1.5, 1.7, 1.6))
+        "t6_minhash_lsh" -> Vector(1.5, 1.7, 1.6),
+        "t8_ngram_jaccard" -> Vector()) // errored sampled query (ADVICE r05)
       st.toJson(partial)
     } finally {
       st.sfDir = sfDir0; st.headline = headline0
-      st.queries = queries0; st.queryRuns = runs0
+      st.queries = queries0; st.queryRuns = runs0; st.headlineLegSecs = legs0
     }
   }
 
@@ -54,7 +56,25 @@ class BenchFormatSpec extends AnyFunSuite {
       assert(tail.contains("\"exec_gate_pass\""), "gate verdict lost from tail")
       assert(tail.contains("\"thread_best_eff\""), "thread evidence lost from tail")
       assert(tail.contains("\"thread_role\""), "thread role label lost from tail")
+      assert(tail.contains("\"headline_window\""), "headline window label lost from tail")
+      assert(tail.contains("\"headline_attempts\":3"), "headline attempts lost from tail")
     }
+  }
+
+  test("headline window label: no exec reference in fixture -> no_reference") {
+    val parsed = org.json4s.jackson.JsonMethods.parse(render(partial = false))
+    assert((parsed \ "gate_summary" \ "headline_window") ==
+      org.json4s.JString("no_reference"))
+    // every headline leg is reported, not just the best
+    assert((parsed \ "extract" \ "leg_secs") ==
+      org.json4s.JArray(List(1.40, 1.25, 1.31).map(org.json4s.JDouble)))
+  }
+
+  test("an errored sampled query (empty runs) never breaks the artifact (ADVICE r05)") {
+    val parsed = org.json4s.jackson.JsonMethods.parse(render(partial = false))
+    val stats = (parsed \ "query_stats").asInstanceOf[org.json4s.JObject].obj.map(_._1)
+    assert(!stats.contains("t8_ngram_jaccard"), "empty runs vector must be filtered")
+    assert(stats.contains("t13_dedup_pipeline"))
   }
 
   test("query_stats blocks: median/min/max per sampled query") {
