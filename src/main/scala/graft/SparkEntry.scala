@@ -61,6 +61,8 @@ object SparkEntry {
       graft.ops.Curation.queries ++
       graft.ops.Export.queries ++
       graft.ops.Packing.queries ++
+      graft.ops.Redact.queries ++
+      graft.ops.LineDedup.queries ++
       graft.ops.Similarity.queries ++
       graft.ops.Multimodal.queries ++
       Map(
@@ -94,6 +96,8 @@ object SparkEntry {
       graft.ops.Curation.oracles ++
       graft.ops.Export.oracles ++
       graft.ops.Packing.oracles ++
+      graft.ops.Redact.oracles ++
+      graft.ops.LineDedup.oracles ++
       graft.ops.Similarity.oracles
 
   /** Superset of `oracleSql` including the oracles that can only be

@@ -258,6 +258,33 @@ class PlanSpec extends SparkSpec {
       == Seq((0, 1L, 1L, 0L), (1, 1L, 0L, 1L)))
   }
 
+  test("t23 redaction plans narrow: exchange-free, scan pruned to (doc_id, text)") {
+    // the scrub pass must run at scan speed — regex expressions are
+    // codegen'd Catalyst natives, and nothing in it may shuffle
+    val p = plan(graft.ops.Redact.queries("t23_pii_redact")(spark, sf001))
+    assert(!p.contains("Exchange"), s"t23: unexpected shuffle:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"t23 scan not pruned to (doc_id, text):\n$p")
+  }
+
+  test("t24 line dedup: frequent set broadcast, corpus lines never join-shuffled") {
+    // the 100 TB contract: ONE wide shuffle (the line-frequency groupBy,
+    // with map-side partial), then the bounded frequent set broadcasts
+    // into a map-side LEFT ANTI probe — a shuffled join keyed on the line
+    // would exchange the exploded corpus a second time
+    val p = plan(graft.ops.LineDedup.lineDedup(spark, sf001))
+    assert(p.contains("BroadcastHashJoin [line"), s"frequent lines not broadcast:\n${p.take(3000)}")
+    assert(p.contains("LeftAnti"), s"no anti-join in:\n${p.take(3000)}")
+    assert(!"(SortMergeJoin|ShuffledHashJoin) \\[line".r.unanchored.matches(p),
+      s"corpus lines shuffled for the strip join:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    val freqExchanges = "hashpartitioning\\(line".r.findAllIn(p).length
+    assert(freqExchanges == 1,
+      s"expected exactly 1 line-keyed exchange (the frequency groupBy), got $freqExchanges:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"no map-side partial in the frequency count:\n$p")
+  }
+
   test("t20 funnel plan contains ONE dedup job: no second signature/banding stage") {
     // VERDICT r05 task 2: the driver query persists the dedup verdicts
     // and joins the read-back, so the FUNNEL plan itself must contain no
