@@ -105,11 +105,21 @@ object Curation {
     * conf the dedup pipeline's reliable-materialization option uses);
     * otherwise a JVM temp directory stands in for the lineage table.
     */
+  /** One temp staging root per JVM (when `graft.staging.dir` is unset).
+    * The verdict path below is keyed by (sfDir, family) and overwritten on
+    * re-runs, so repeated funnel calls in one process — bench warmup +
+    * measured + Verify — reuse ONE table instead of leaking a fresh
+    * parquet dump per call. In production this is a managed Iceberg table
+    * (ICEBERG.md §5b), not a path convention.
+    */
+  private lazy val tempStagingRoot: String =
+    java.nio.file.Files.createTempDirectory("graft-staging").toString
+
   def funnel(spark: SparkSession, sfDir: String,
       fam: HashFamily = HashFamily.Xx64): DataFrame = {
-    val root = spark.conf.getOption(Staging.ConfKey).getOrElse(
-      java.nio.file.Files.createTempDirectory("graft-staging").toString)
-    val path = s"$root/t20_dedup_verdicts_${java.util.UUID.randomUUID()}"
+    val root = spark.conf.getOption(Staging.ConfKey).getOrElse(tempStagingRoot)
+    val key = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = s"$root/t20_dedup_verdicts_${key}_${fam.name}"
     Dedup.dedupPipeline(spark, sfDir, fam = fam)
       .write.mode("overwrite").parquet(path)
     funnelFromVerdicts(perRowSignals(spark, sfDir, fam),

@@ -33,19 +33,27 @@ object Staging {
 
   private val counter = new AtomicLong(0L)
 
+  /** Per-JVM token in every staging path: two drivers pointing at the
+    * same durable staging root (the feature's stated production shape)
+    * must never overwrite each other's tables — the in-JVM counter alone
+    * restarts at 0 in every process.
+    */
+  private val jvmToken: String =
+    java.util.UUID.randomUUID().toString.take(8)
+
   def enabled(df: DataFrame): Boolean =
     df.sparkSession.conf.getOption(ConfKey).isDefined
 
   /** Materialize `df` once: parquet staging table when [[ConfKey]] is
     * set, localCheckpoint otherwise. `name` keys the staging subdirectory
-    * (suffixed with a counter so repeated pipeline runs in one session
-    * never collide).
+    * (suffixed with a per-JVM token + counter so neither concurrent
+    * processes nor repeated pipeline runs in one session collide).
     */
   def materialize(df: DataFrame, name: String): DataFrame = {
     val spark = df.sparkSession
     spark.conf.getOption(ConfKey) match {
       case Some(root) =>
-        val path = s"$root/${name}_${counter.incrementAndGet()}"
+        val path = s"$root/${name}_${jvmToken}_${counter.incrementAndGet()}"
         df.write.mode("overwrite").parquet(path)
         spark.read.parquet(path)
       case None =>

@@ -62,11 +62,16 @@ object ExtractOracle {
     * index-addressed, so the result is order-deterministic.
     */
   def driverRows(spark: SparkSession, sfDir: String): Option[Array[Expected]] = {
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // one scan: collect up to cap+1 rows and bail on overflow — a separate
+    // count() would pay a second full read of the table
+    val input = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text")
-    if (docs.count() > MaxOracleRows) return None
-    val input = docs.orderBy("doc_id").collect()
+      .orderBy("doc_id").limit(MaxOracleRows + 1).collect()
       .map(r => (r.getLong(0), r.getString(1)))
+    // empty corpus would render "FROM (VALUES )" — invalid SQL, which the
+    // compare would read as an oracle failure instead of degrading;
+    // oversized corpora degrade to the rows-only check as documented
+    if (input.length > MaxOracleRows || input.isEmpty) return None
     val out = new Array[Expected](input.length)
     java.util.stream.IntStream.range(0, input.length).parallel().forEach { i =>
       val (docId, text) = input(i)

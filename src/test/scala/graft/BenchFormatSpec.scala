@@ -17,12 +17,14 @@ class BenchFormatSpec extends AnyFunSuite {
     */
   private def render(partial: Boolean): String = {
     val st = Bench.State
-    val (sfDir0, headline0, queries0, runs0, legs0) =
-      (st.sfDir, st.headline, st.queries, st.queryRuns, st.headlineLegSecs)
+    val (sfDir0, headline0, queries0, runs0, legs0, errs0) =
+      (st.sfDir, st.headline, st.queries, st.queryRuns, st.headlineLegSecs,
+        st.headlineErroredLegs)
     try {
       st.sfDir = "/root/testdata/sf0.1"
       st.headline = Some((20000L, 1.25, 360000000L))
       st.headlineLegSecs = Vector(1.40, 1.25, 1.31)
+      st.headlineErroredLegs = 2 // capped-out resample retries leave a trace
       st.queries = Seq("q_ok" -> Right(0.5), "q_bad" -> Left("boom: \"quoted\"\nline"))
       st.queryRuns = Seq(
         "t13_dedup_pipeline" -> Vector(5.1, 4.9, 5.6),
@@ -32,6 +34,7 @@ class BenchFormatSpec extends AnyFunSuite {
     } finally {
       st.sfDir = sfDir0; st.headline = headline0
       st.queries = queries0; st.queryRuns = runs0; st.headlineLegSecs = legs0
+      st.headlineErroredLegs = errs0
     }
   }
 
@@ -57,7 +60,8 @@ class BenchFormatSpec extends AnyFunSuite {
       assert(tail.contains("\"thread_best_eff\""), "thread evidence lost from tail")
       assert(tail.contains("\"thread_role\""), "thread role label lost from tail")
       assert(tail.contains("\"headline_window\""), "headline window label lost from tail")
-      assert(tail.contains("\"headline_attempts\":3"), "headline attempts lost from tail")
+      assert(tail.contains("\"headline_attempts\":5"),
+        "headline attempts must count errored resample legs too (3 ok + 2 errored)")
     }
   }
 
