@@ -66,7 +66,7 @@ object LineDedup {
   /** doc_id + text → doc_id + planted-and-chunked `lines`. Header at pos 0,
     * chunks at 1..m, promo (every 50th doc) at m+1, footer at m+2.
     */
-  private[ops] def withPlantedLines(docs: DataFrame): DataFrame = {
+  private[graft] def withPlantedLines(docs: DataFrame): DataFrame = {
     val chunks = chunkLines(col("text"))
     val m = size(chunks).cast("long")
     docs.select(

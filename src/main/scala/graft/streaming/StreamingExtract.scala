@@ -209,6 +209,54 @@ object StreamingExtract {
       }
   }
 
+  /** A line that crossed the boilerplate threshold on the stream: emitted
+    * by [[lineFreqStream]] exactly ONCE, in the micro-batch that takes its
+    * cumulative count from ≤ maxDf to > maxDf (`n` = the cumulative count
+    * after that batch). The stream-end emitted line set therefore equals the
+    * batch `groupBy(line).count() > maxDf` frequent set regardless of
+    * how occurrences fall into micro-batches — StreamingSpec pins it.
+    */
+  final case class FrequentLine(line: String, n: Long)
+
+  /** Per-line state: cumulative occurrence count (public — Spark's state
+    * encoder codegen requires accessible constructors, as with
+    * [[BucketState]]).
+    */
+  final case class LineCount(n: Long)
+
+  /** Streaming maintenance of the t24 line-frequency relation — the
+    * incremental-ingest analogue of [[graft.ops.LineDedup]]'s frequency
+    * stage (ICEBERG.md §5b: production appends per-batch partial counts
+    * to a persisted `line_freq` table; this is the same dataflow kept
+    * inside the state store). Input: a streaming relation with one row
+    * per line OCCURRENCE (column `line`); output: threshold crossings
+    * only, so downstream strip jobs receive precisely the boilerplate
+    * set deltas and the sink stays tiny no matter how hot a banner runs.
+    *
+    * State is one counter per distinct line seen — bounded per key
+    * (flood lines don't grow it) but keyed by line text here for
+    * byte-exact parity with the batch oracle; at corpus scale the key is
+    * the 128-bit line fingerprint and the store is RocksDB, or the
+    * foreachBatch append-and-compact variant replaces in-store counting
+    * outright (same trade documented on the batch op).
+    */
+  def lineFreqStream(lines: DataFrame, maxDf: Long = graft.ops.LineDedup.MaxDf): Dataset[FrequentLine] = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    lines.select(col("line").cast("string")).as[String]
+      .groupByKey(identity)
+      .flatMapGroupsWithState[LineCount, FrequentLine](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (line: String, evs: Iterator[String], state: GroupState[LineCount]) =>
+          val prior = state.getOption.map(_.n).getOrElse(0L)
+          val next = prior + evs.size
+          state.update(LineCount(next))
+          if (prior <= maxDf && next > maxDf)
+            Iterator.single(FrequentLine(line, next))
+          else Iterator.empty
+      }
+  }
+
   /** One fetch outcome observed on the stream. */
   final case class FetchEvent(feed_url: String, fetch_time: Double, new_items: Int)
 

@@ -12,6 +12,9 @@ import graft.streaming.StreamingExtract.{FetchEvent, FeedState}
   */
 case class NearDupDoc(doc_id: Long, text: String)
 
+/** One line occurrence fed to lineFreqStream (top-level for the encoder). */
+case class LineOcc(line: String)
+
 class StreamingSpec extends SparkSpec {
 
   test("streaming extraction matches the kernel per micro-batch") {
@@ -202,6 +205,60 @@ class StreamingSpec extends SparkSpec {
     assert(pairs == Set((0L, 1L), (0L, 2L), (1L, 2L), (0L, 3L), (1L, 3L),
       (0L, 4L), (1L, 4L), (0L, 5L), (1L, 5L)),
       s"capped pair set wrong: $pairs")
+  }
+
+  test("streaming line frequency: stream-end frequent set equals the batch t24 set") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val lineRows = {
+      import org.apache.spark.sql.functions._
+      val docs = spark.read.parquet(s"$sf001/documents.parquet").select("doc_id", "text")
+      graft.ops.LineDedup.withPlantedLines(docs)
+        .select(explode(col("lines")).as("pl")).select(col("pl.line").as("line"))
+        .as[String].collect()
+    }
+    val source = MemoryStream[LineOcc]
+    val q = StreamingExtract.lineFreqStream(source.toDF())
+      .writeStream.format("memory").queryName("linefreq_out")
+      .outputMode("update").start()
+    lineRows.grouped(lineRows.length / 3 + 1).foreach { chunk =>
+      source.addData(chunk.toSeq.map(LineOcc))
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("linefreq_out")
+      .as[StreamingExtract.FrequentLine].collect()
+    assert(streamed.map(_.line).distinct.length == streamed.length,
+      "a line crossed the threshold more than once")
+    val batch = lineRows.groupBy(identity).collect {
+      case (l, occ) if occ.length > graft.ops.LineDedup.MaxDf => l
+    }.toSet
+    assert(streamed.map(_.line).toSet == batch,
+      s"only-stream=${streamed.map(_.line).toSet -- batch} only-batch=${batch -- streamed.map(_.line).toSet}")
+    assert(batch.nonEmpty, "vacuous: no frequent lines planted")
+  }
+
+  test("streaming line frequency: one emission at the crossing, never again") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val source = MemoryStream[LineOcc]
+    val q = StreamingExtract.lineFreqStream(source.toDF(), maxDf = 2L)
+      .writeStream.format("memory").queryName("linefreq_cross_out")
+      .outputMode("update").start()
+    // batch 1: x=1, y=1 — nothing crosses
+    source.addData(Seq(LineOcc("x"), LineOcc("y"))); q.processAllAvailable()
+    // batch 2: x=2, y=2 — still nothing (threshold is strict >)
+    source.addData(Seq(LineOcc("x"), LineOcc("y"))); q.processAllAvailable()
+    // batch 3: x=4 — x crosses once with the post-batch count; y stays at 2
+    source.addData(Seq(LineOcc("x"), LineOcc("x"))); q.processAllAvailable()
+    // batch 4: x=5 — already frequent, no second emission
+    source.addData(Seq(LineOcc("x"))); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("linefreq_cross_out")
+      .as[StreamingExtract.FrequentLine].collect().toSeq
+    assert(got == Seq(StreamingExtract.FrequentLine("x", 4L)), s"got: $got")
   }
 
   test("pure transition clamps to [3600, 259200]") {
