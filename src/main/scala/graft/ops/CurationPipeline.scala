@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The END-TO-END curation pipeline: every stage a user runs between a raw
+  * document corpus and training-ready shards, chained over PERSISTED
+  * intermediate tables (the ICEBERG.md deployment shape — each arrow below
+  * is a table boundary a production run can resume from, audit, or share):
+  *
+  *   documents ─t13→ dedup_verdicts ─t20→ funnel_status
+  *       │                                     │ (status = 'kept')
+  *       └──────────── join ←──────────────────┘
+  *                      │
+  *                 t23 redact → t24 line-strip → clean_text
+  *                      │
+  *            t22 pack → packed          t21 → shards/ (hive-partitioned)
+  *
+  * Stage outputs are parquet under one output root with a `manifest.json`
+  * of per-stage row counts, so a killed run shows exactly where it
+  * stopped and a re-run is bit-identical (every stage is deterministic —
+  * hash-keyed dedup/sampling/sharding, fixed-order redaction, positional
+  * line reassembly; CurationPipelineSpec pins re-run identity).
+  *
+  * Scale shape: the expensive job (dedup) runs ONCE and everything else
+  * consumes its persisted verdicts; redact/line-form are per-row; the
+  * line-frequency count is one wide shuffle; packing is the two-phase
+  * prefix sum; export clusters once by shard. No stage re-reads a prior
+  * stage's INPUT — only its persisted output.
+  */
+object CurationPipeline {
+
+  /** Runs all stages; returns (stage → row count), also written to
+    * `outDir/manifest.json`.
+    */
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+      fam: HashFamily = HashFamily.Xx64,
+      seqLen: Long = Packing.DefaultSeqLen,
+      numShards: Int = Export.DefaultShards,
+      maxDf: Long = LineDedup.MaxDf): Seq[(String, Long)] = {
+
+    // 1. the one expensive job: dedup verdicts, persisted for every
+    //    downstream consumer (and future ingests)
+    Dedup.dedupPipeline(spark, sfDir, fam = fam)
+      .write.mode("overwrite").parquet(s"$outDir/dedup_verdicts")
+    val verdicts = spark.read.parquet(s"$outDir/dedup_verdicts")
+
+    // 2. funnel: per-row gates + ONE join against the persisted verdicts
+    Curation.funnelFromVerdicts(Curation.perRowSignals(spark, sfDir, fam), verdicts)
+      .write.mode("overwrite").parquet(s"$outDir/funnel_status")
+    val status = spark.read.parquet(s"$outDir/funnel_status")
+
+    // 3. kept docs → PII scrub → boilerplate line strip → clean_text
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val kept = docs.join(
+      status.filter(col("status") === "kept").select("doc_id"), Seq("doc_id"))
+    val redacted = Redact.redactPii(kept)
+      .select(col("doc_id"), col("redacted").as("text"),
+        col("n_email"), col("n_ip"), col("n_phone"))
+    LineDedup.lineDedupOn(LineDedup.chunked(redacted), maxDf)
+      .join(redacted.select("doc_id", "n_email", "n_ip", "n_phone"), Seq("doc_id"))
+      .select(col("doc_id"), col("kept_text").as("text"),
+        col("n_lines_in"), col("n_lines_kept"),
+        col("n_email"), col("n_ip"), col("n_phone"))
+      .write.mode("overwrite").parquet(s"$outDir/clean_text")
+    val clean = spark.read.parquet(s"$outDir/clean_text")
+
+    // 4. training-sequence packing over the CLEAN text's token counts
+    Packing.sequencePackOn(
+        clean.selectExpr("doc_id", s"CAST(size(${TextOps.Toks}) AS BIGINT) AS n_tokens"),
+        seqLen)
+      .write.mode("overwrite").parquet(s"$outDir/packed")
+
+    // 5. deterministic sharded export of the final rows
+    Export.shardedExport(clean, s"$outDir/shards", numShards, fam)
+
+    val manifest = Seq(
+      "documents" -> docs.count(),
+      "dedup_verdicts" -> verdicts.count(),
+      "funnel_status" -> status.count(),
+      "kept" -> kept.count(),
+      "clean_text" -> clean.count(),
+      "packed" -> spark.read.parquet(s"$outDir/packed").count(),
+      "shards" -> spark.read.parquet(s"$outDir/shards").count())
+    val json = manifest.map { case (k, v) => s""""$k":$v""" }
+      .mkString("{", ",", "}")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(outDir, "manifest.json"),
+      json.getBytes("UTF-8"))
+    manifest
+  }
+}

@@ -63,6 +63,13 @@ object LineDedup {
   private def lineStruct(pos: Column, line: String): Column =
     struct(pos.cast("long").as("pos"), lit(line).as("line"))
 
+  /** doc_id + text → doc_id + natural chunk `lines` (no planted
+    * boilerplate) — the production entry point; the demo query's planting
+    * lives in [[withPlantedLines]].
+    */
+  def chunked(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"), chunkLines(col(textCol)).as("lines"))
+
   /** doc_id + text → doc_id + planted-and-chunked `lines`. Header at pos 0,
     * chunks at 1..m, promo (every 50th doc) at m+1, footer at m+2.
     */
