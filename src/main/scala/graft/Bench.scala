@@ -130,7 +130,10 @@ object Bench {
   private def corpus(sfDir: String, repl: Int,
       partitionBySlice: Boolean = false): (String, Long) = {
     val suffix = if (partitionBySlice) "_sliced" else ""
-    val dir = s"/tmp/graft_bench_pages_v${CorpusVersion}_${sfDir.replaceAll("[^0-9.]", "")}_x$repl$suffix"
+    // key on the FULL source path (hashed), not just its digits: two sf
+    // dirs whose paths strip to the same "0.1" must not share a cache
+    val srcKey = s"${sfDir.replaceAll("[^0-9.]", "")}_${(sfDir.hashCode & 0x7fffffff).toHexString}"
+    val dir = s"/tmp/graft_bench_pages_v${CorpusVersion}_${srcKey}_x$repl$suffix"
     val sidecar = java.nio.file.Paths.get(dir, "_html_bytes.txt")
     if (new java.io.File(s"$dir/_SUCCESS").exists() &&
         java.nio.file.Files.exists(sidecar))
@@ -149,7 +152,12 @@ object Bench {
           else
             df.repartition(64).write.mode("overwrite").parquet(dir)
         }
-        s.read.parquet(dir).selectExpr("sum(length(html))").head().getLong(0)
+        // coalesce: sum() over zero rows is SQL NULL — fail with a clear
+        // message instead of an NPE from getLong
+        val b = s.read.parquet(dir)
+          .selectExpr("coalesce(sum(length(html)), -1)").head().getLong(0)
+        if (b < 0) sys.error(s"empty corpus materialized from $sfDir")
+        b
       } finally s.stop()
     java.nio.file.Files.write(sidecar, bytes.toString.getBytes("UTF-8"))
     (dir, bytes)
@@ -252,6 +260,14 @@ object Bench {
       case scala.util.control.NonFatal(e) =>
         procs.foreach(_._1.destroyForcibly())
         throw new LegTimeout(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
+    } finally {
+      // per-leg barrier files + full worker stdout logs: delete, or a
+      // 30-leg run leaves ~30 temp trees in /tmp per round
+      try {
+        import scala.jdk.CollectionConverters._
+        Files.walk(Paths.get(syncDir)).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount).foreach(p => Files.deleteIfExists(p))
+      } catch { case scala.util.control.NonFatal(_) => () }
     }
   }
 
@@ -282,12 +298,28 @@ object Bench {
     * so far). Every ADJACENT opposite-level pair of healthy legs is a
     * candidate pair — nearest-in-time pairing.
     */
-  /** Every ADJACENT opposite-level pair of legs — nearest-in-time pairing. */
+  /** Every ADJACENT opposite-level pair of ERR-FREE legs — nearest-in-time
+    * pairing; errored legs pair with nothing (the documented Leg contract:
+    * a -1 s leg would otherwise fabricate a plausible-looking efficiency).
+    */
   private def adjacentPairs(legs: Vector[Leg], small: Int, big: Int): Vector[SPair] =
     legs.sliding(2).collect {
-      case Vector(a, b) if a.level == small && b.level == big => SPair(a, b)
-      case Vector(a, b) if a.level == big && b.level == small => SPair(b, a)
+      case Vector(a, b) if a.err.isEmpty && b.err.isEmpty &&
+        a.level == small && b.level == big => SPair(a, b)
+      case Vector(a, b) if a.err.isEmpty && b.err.isEmpty &&
+        a.level == big && b.level == small => SPair(b, a)
     }.toVector
+
+  /** Standard median: middle element, or the mean of the two middles on
+    * even length — the upper-middle shortcut biased 2-sample medians to
+    * the WORSE draw in budget-cut windows.
+    */
+  private def medianD(xs: Seq[Double]): Double = {
+    if (xs.isEmpty) return -1.0
+    val s = xs.sorted
+    if (s.length % 2 == 1) s(s.length / 2)
+    else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+  }
 
   private def sampleSection(
       small: Int, big: Int, reserve: Double,
@@ -383,8 +415,7 @@ object Bench {
       val valid = ps.filter(_.valid)
       val healthy = ps.filter(p => p.small.err.isEmpty && p.big.err.isEmpty &&
         p.small.docs == p.big.docs)
-      val es = (if (valid.nonEmpty) valid else healthy).map(_.eff).sorted
-      if (es.isEmpty) -1.0 else es(es.length / 2)
+      medianD((if (valid.nonEmpty) valid else healthy).map(_.eff))
     }
 
     private def scalingJson(
@@ -439,8 +470,13 @@ object Bench {
       // (VERDICT r04 task 5): a sub-gate thread median is explicitly
       // calibration-only context, never the gate evidence.
       val threadMedian = medianOf(threadPairs)
+      // "corroborating" requires at least one VALID pair: an all-invalid
+      // window can hand medianOf a healthy-pairs fallback median that is
+      // physically impossible (e.g. 4.6 from throttled small legs), and
+      // impossible evidence must never be promoted to gate context
       val threadRole =
-        if (threadMedian >= 0.8) "corroborating" else "calibration_only"
+        if (threadPairs.exists(_.valid) && threadMedian >= 0.8) "corroborating"
+        else "calibration_only"
       // Window-relative headline health (VERDICT r05 task 3): compare the
       // best local[32] leg against the run's own best 4-JVM executor
       // level — the in-run reference that moves WITH host throttle.
@@ -468,7 +504,7 @@ object Bench {
         else nonEmptyRuns.map { case (name, runs) =>
           val sortedRuns = runs.sorted
           s""""$name":{"runs":${runs.map(f).mkString("[", ",", "]")},""" +
-            s""""median":${f(sortedRuns(sortedRuns.length / 2))},""" +
+            s""""median":${f(medianD(runs))},""" +
             s""""min":${f(sortedRuns.head)},"max":${f(sortedRuns.last)}}"""
         }.mkString("\"query_stats\":{", ",", "},")
       val gate =
@@ -558,9 +594,17 @@ object Bench {
       var best: Option[(Long, Double)] = None
       var i = 0
       while (i < 3 && (i == 0 || remaining > QueriesReserve + 40)) {
-        val (n, t) = leg(32, bigDir, warm = i == 0)
-        State.headlineLegSecs :+= t
-        if (best.forall(_._2 > t)) best = Some((n, t))
+        // per-leg error handling, like every other sampling site: one
+        // throttle-induced leg failure must cost ONE attempt, not the
+        // queries section and all three resample loops after it
+        try {
+          val (n, t) = leg(32, bigDir, warm = i == 0)
+          State.headlineLegSecs :+= t
+          if (best.forall(_._2 > t)) best = Some((n, t))
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            State.headlineErroredLegs += 1
+        }
         i += 1
       }
       State.headline = best.map { case (n, t) => (n, t, bigBytes) }
@@ -571,8 +615,13 @@ object Bench {
       val s32 = session(32)
       val acc = scala.collection.mutable.ArrayBuffer
         .empty[(String, Either[String, Double])]
+      // per-query budget gate sized from the worst query OBSERVED so far
+      // (warmup + measured ≈ 2.2×): the old flat 5 s gate let a 10-13 s
+      // dedup query start with 5 s left and overshoot the hard budget by
+      // ~20 s — exactly the overrun the budget header promises away
+      var worstQuery = 2.5
       try SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-        if (remaining < 5) {
+        if (remaining < math.max(5.0, worstQuery * 2.2)) {
           acc += name -> Left("budget_exhausted")
         } else {
           def once(): Either[String, Double] = {
@@ -598,7 +647,7 @@ object Bench {
                 Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(160)}")
             }
           }
-          once() // warmup (codegen/classload amortizes to zero at scale)
+          once().foreach(t => worstQuery = math.max(worstQuery, t)) // warmup
           if (SampledQueries(name)) {
             // The multi-second dedup-family queries are sampled 3× inside
             // this window so the artifact names its own variance (VERDICT
@@ -611,7 +660,7 @@ object Bench {
             var k = 0
             while (k < 3 && errOut.isEmpty && (k == 0 || remaining > 15)) {
               once() match {
-                case Right(t) => runs :+= t
+                case Right(t) => runs :+= t; worstQuery = math.max(worstQuery, t)
                 case Left(e)  => errOut = Some(e)
               }
               k += 1
@@ -619,9 +668,13 @@ object Bench {
             if (runs.nonEmpty) State.queryRuns :+= (name -> runs)
             acc += name -> (errOut match {
               case Some(e) => Left(e)
-              case None    => Right(runs.sorted.apply(runs.length / 2))
+              case None    => Right(medianD(runs))
             })
-          } else acc += name -> once()
+          } else acc += name -> {
+            val r = once()
+            r.foreach(t => worstQuery = math.max(worstQuery, t))
+            r
+          }
         }
         State.queries = acc.toSeq
       } finally s32.stop()

@@ -57,7 +57,9 @@ object WorkerExtractCli {
     val t0 = System.nanoTime()
     val n = plan.count()
     val secs = (System.nanoTime() - t0) / 1e9
-    println(f"WORKER $workerIdx $n $secs%.3f")
+    // Locale.ROOT: the f-interpolator is default-locale-dependent, and a
+    // comma-decimal locale would break the harness's parts(3).toDouble
+    println("WORKER %d %d %.3f".formatLocal(java.util.Locale.ROOT, workerIdx, n, secs))
     spark.stop()
   }
 }
