@@ -205,11 +205,58 @@ object Similarity {
           |  CAST(0 AS DOUBLE), (a, x) -> a + x) / size(codes), 8) AS mse"""
           .stripMargin)
 
+  /** Map-side floor for [[decontamReport]]: pairs below this exact
+    * cosine are discarded BEFORE the rank shuffle — decontamination only
+    * audits the top of the similarity range, and on random 64-dim
+    * vectors the floor prunes ~95% of pairs.
+    */
+  val DecontamFloor = 0.2
+  val DecontamK = 5
+
+  /** t25 — embedding-space DECONTAMINATION report: the cosine-similarity
+    * complement of t19's n-gram decontamination. For each held-out eval
+    * vector (the deterministic `vec_id % 97 = 0` slice, t19's slicing
+    * convention), rank the corpus by EXACT cosine and report the top k
+    * with their scores — the contamination audit a curation team
+    * thresholds/reviews downstream. Rank-based like t9 (a fixed
+    * threshold is vacuously empty on corpora without planted eval
+    * leakage — VERDICT r01), with the floor keeping the report honest
+    * about what was discarded.
+    *
+    * Scale shape: the eval side is BROADCAST (benchmark sets are MBs
+    * against a 100 TB corpus) and the corpus is streamed map-side, each
+    * row computing |eval| double-widened dots — linear in corpus bytes,
+    * embarrassingly parallel, no corpus shuffle. The only exchange is
+    * the per-eval rank window, whose input the floor has already pruned.
+    * When eval sets grow past broadcast size, the sub-linear path is the
+    * t9/t11/t14 candidate machinery (LSH buckets / IVF cells).
+    */
+  def decontamReport(spark: SparkSession, sfDir: String,
+      k: Int = DecontamK): DataFrame = {
+    val e = withNorm(embeddings(spark, sfDir))
+    val ev = e.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("q_v"),
+        col("nrm").as("q_n"))
+    val c = e.filter(col("vec_id") % 97 =!= 0)
+      .select(col("vec_id").as("corpus_id"), col("embedding").as("c_v"),
+        col("nrm").as("c_n"))
+    val w = Window.partitionBy(col("eval_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    c.crossJoin(broadcast(ev))
+      .selectExpr("eval_id", "corpus_id", CosineExpr)
+      .filter(col("cosine") >= DecontamFloor)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("eval_id"), col("corpus_id"), col("cosine"),
+        col("rank").cast("long").as("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t10_knn_bruteforce" -> ((s, d) => knnBruteForce(s, d)),
     "t11_ann_lsh" -> ((s, d) => annLsh(s, d)),
     "t14_ann_ivf" -> ((s, d) => annIvf(s, d)),
-    "t16_quantize_int8" -> ((s, d) => quantizeInt8(s, d))
+    "t16_quantize_int8" -> ((s, d) => quantizeInt8(s, d)),
+    "t25_embed_decontam" -> ((s, d) => decontamReport(s, d))
   )
 
   /** Full DuckDB oracles. t10: both engines widen float→double EXACTLY,
@@ -244,6 +291,29 @@ object Similarity {
         |  FROM pairs)
         |SELECT query_id, neighbor_id, cosine, rank
         |FROM ranked WHERE rank <= 5""".stripMargin,
+    // same double-widened dot + round-4 ranking as t10; eval slice and
+    // floor inlined from the same constants the Spark plan uses
+    "t25_embed_decontam" ->
+      s"""WITH n AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                               CAST(embedding AS DOUBLE[]))) AS nrm
+         |  FROM embeddings),
+         |e AS (SELECT vec_id AS eval_id, v AS qv, nrm AS qn
+         |      FROM n WHERE vec_id % 97 = 0),
+         |c AS (SELECT vec_id AS corpus_id, v, nrm FROM n WHERE vec_id % 97 != 0),
+         |pairs AS (
+         |  SELECT e.eval_id, c.corpus_id,
+         |         round(list_dot_product(e.qv, c.v) / (e.qn * c.nrm), 4) AS cosine
+         |  FROM e JOIN c ON true),
+         |fl AS (SELECT * FROM pairs WHERE cosine >= $DecontamFloor),
+         |ranked AS (
+         |  SELECT eval_id, corpus_id, cosine,
+         |         row_number() OVER (PARTITION BY eval_id
+         |                            ORDER BY cosine DESC, corpus_id) AS rank
+         |  FROM fl)
+         |SELECT eval_id, corpus_id, cosine, rank
+         |FROM ranked WHERE rank <= $DecontamK""".stripMargin,
     "t11_ann_lsh" -> {
       val ps = planes()
       val bucketExpr = ps.zipWithIndex.map { case (row, i) =>

@@ -285,6 +285,21 @@ class PlanSpec extends SparkSpec {
       s"no map-side partial in the frequency count:\n$p")
   }
 
+  test("t25 decontam report: eval side broadcast, corpus never shuffled before the rank") {
+    // the DELIBERATE nested-loop: a bounded eval set broadcasts and each
+    // corpus row computes |eval| dots map-side (linear in corpus bytes,
+    // no corpus shuffle) — the floor then prunes pairs before the only
+    // exchange, the per-eval rank window
+    val p = plan(graft.ops.Similarity.decontamReport(spark, sf001))
+    assert(p.contains("BroadcastNestedLoopJoin"), s"eval side not broadcast:\n${p.take(2000)}")
+    val exchanges = p.linesIterator
+      .count(l => l.contains("Exchange") && !l.contains("Reused") && !l.contains("Broadcast"))
+    assert(exchanges == 1,
+      s"expected exactly the rank-window exchange, got $exchanges:\n$p")
+    assert("hashpartitioning\\(eval_id".r.findAllIn(p).nonEmpty,
+      s"rank window not keyed by eval_id:\n$p")
+  }
+
   test("t20 funnel plan contains ONE dedup job: no second signature/banding stage") {
     // VERDICT r05 task 2: the driver query persists the dedup verdicts
     // and joins the read-back, so the FUNNEL plan itself must contain no
