@@ -63,6 +63,8 @@ object SparkEntry {
       graft.ops.Packing.queries ++
       graft.ops.Redact.queries ++
       graft.ops.LineDedup.queries ++
+      graft.ops.Components.queries ++
+      graft.ops.LangModel.queries ++
       graft.ops.Similarity.queries ++
       graft.ops.Multimodal.queries ++
       Map(
@@ -98,6 +100,8 @@ object SparkEntry {
       graft.ops.Packing.oracles ++
       graft.ops.Redact.oracles ++
       graft.ops.LineDedup.oracles ++
+      graft.ops.Components.oracles ++
+      graft.ops.LangModel.oracles ++
       graft.ops.Similarity.oracles
 
   /** Superset of `oracleSql` including the oracles that can only be

@@ -1,0 +1,198 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** t26 — CONNECTED COMPONENTS over the duplicate-pair graph: the
+  * clustering step that turns a pair list (t6 near-dup pairs, t1 exact
+  * groups) into transitive duplicate CLUSTERS. The pairwise operators
+  * answer "are a and b duplicates?"; a curation pipeline also needs
+  * "which documents form ONE group?" — near-duplication is transitive
+  * in practice (boilerplate families, mirror chains a–b–c where a–c
+  * never shares a band), and keep-one-per-cluster decisions need the
+  * cluster, not the pairs.
+  *
+  * Algorithm: alternating LARGE-STAR / SMALL-STAR (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC 2014) — the
+  * published shuffle-friendly CC algorithm. Each operation is one
+  * groupBy-node shuffle that rewires edges toward the component
+  * minimum; the alternation converges in O(log² n) rounds (in practice
+  * 2–4 on dup graphs, whose components are near-cliques) to a star
+  * forest where every node points directly at its component's minimum
+  * id. Contrast with naive label propagation (O(diameter) rounds — a
+  * 10⁶-long mirror chain needs 10⁶ shuffles) and with driver-side
+  * union-find (the edge list at 100 TB does not fit one machine).
+  *
+  * Scale shape per iteration: groupBy(node) over the CURRENT edge set —
+  * the edge relation (2×8 B/row) is orders of magnitude smaller than
+  * the corpus, and it SHRINKS toward one row per non-root node as stars
+  * form. Edges are staged between iterations ([[Staging.materialize]]:
+  * plan truncation — iterative joins otherwise grow the logical plan
+  * exponentially — and durable parquet staging under
+  * `graft.staging.dir`). Convergence is detected by a (count,
+  * hash-sum) fingerprint — one 1-row aggregate per iteration, the
+  * driver never sees the edges themselves. A skewed super-component
+  * (one boilerplate family of 10⁷ docs) concentrates into its root's
+  * groupBy bucket only in the FINAL star, where the emitted edge count
+  * equals the component size — linear, not quadratic; AQE splits the
+  * oversized reduce partition.
+  *
+  * The t26 driver query builds edges from the t6 verified pair relation
+  * (est_jaccard ≥ 0.5 under the active [[HashFamily]]) plus the exact
+  * sha256 dup groups of t1, then reports every node's component root
+  * and component size. The DuckDB oracle reuses t6's pair CTEs verbatim
+  * ([[Dedup.MinhashPairCtes]]) and closes them transitively with a
+  * recursive min-label walk — an independent algorithm (reachability
+  * closure) arriving at the same clusters.
+  */
+object Components {
+
+  /** Safety bound on star iterations; the algorithm provably converges
+    * in O(log² n) — hitting this bound indicates a bug, so it throws
+    * rather than returning a half-converged clustering.
+    */
+  val MaxIter = 40
+
+  /** Canonical undirected dup-edge list (src < dst) for a corpus: the t6
+    * near-dup pairs ∪ the t1 exact-dup (keeper, member) edges.
+    */
+  def dupEdges(spark: SparkSession, sfDir: String,
+      fam: HashFamily = HashFamily.Xx64): DataFrame = {
+    val near = Dedup.minhashLsh(spark, sfDir, th = 0.5, fam = fam)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val docsDf = Dedup.docs(spark, sfDir)
+    val groups = docsDf
+      .groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"))
+    val exact = docsDf
+      .join(groups, sha2(col("text"), 256) === col("h"))
+      .where(col("doc_id") =!= col("keep_id"))
+      .select(col("keep_id").as("src"), col("doc_id").as("dst"))
+    near.unionByName(exact)
+  }
+
+  /** Connected components of an undirected edge list `(src, dst)`:
+    * returns one row per node appearing in any edge, labeled with the
+    * minimum node id of its component. Self-loops are dropped; edge
+    * direction and duplicates don't matter.
+    */
+  def connectedComponents(edges0: DataFrame): DataFrame = {
+    val canonical = edges0
+      .selectExpr("least(src, dst) AS lo", "greatest(src, dst) AS hi")
+      .where(col("lo") =!= col("hi"))
+      .dropDuplicates("lo", "hi")
+    val nodes = canonical.selectExpr("lo AS id")
+      .unionByName(canonical.selectExpr("hi AS id")).distinct()
+
+    var edges = Staging.materialize(canonical, "cc_edges")
+    var fp = fingerprint(edges)
+    var converged = false
+    var it = 0
+    while (!converged) {
+      it += 1
+      if (it > MaxIter)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $MaxIter star rounds")
+      val next = Staging.materialize(smallStar(largeStar(edges)), s"cc_iter$it")
+      val nfp = fingerprint(next)
+      converged = nfp == fp
+      edges = next
+      fp = nfp
+    }
+    // Converged star forest: every non-root node appears exactly once as
+    // `hi`, pointing at its component root `lo`; roots never appear as
+    // `hi`. (min() is belt-and-braces for the theoretical final round
+    // where both star ops are already no-ops.)
+    val comp = edges.groupBy(col("hi").as("id")).agg(min("lo").as("component"))
+    nodes.join(comp, Seq("id"), "left")
+      .selectExpr("id", "coalesce(component, id) AS component")
+  }
+
+  /** Large-star: for every node u, connect each STRICTLY LARGER neighbor
+    * to min(Γ(u) ∪ {u}). One groupBy-node shuffle; emitted edges are
+    * canonical (lo < hi) because v > u ≥ m.
+    */
+  private[ops] def largeStar(edges: DataFrame): DataFrame =
+    edges.selectExpr("lo AS u", "hi AS v")
+      .unionAll(edges.selectExpr("hi AS u", "lo AS v"))
+      .groupBy("u").agg(collect_set(col("v")).as("nbrs"))
+      .selectExpr("u", "least(array_min(nbrs), u) AS m", "nbrs")
+      .selectExpr("m AS lo", "explode(filter(nbrs, v -> v > u)) AS hi")
+      .where(col("lo") =!= col("hi"))
+      .dropDuplicates("lo", "hi")
+
+  /** Small-star: orient each edge toward its larger endpoint u, then
+    * connect u and all its smaller neighbors to their minimum. Input and
+    * output are canonical (lo < hi): every emitted v ∈ N(u) ∪ {u} with
+    * v ≠ m satisfies v > m = min(N(u)).
+    */
+  private[ops] def smallStar(edges: DataFrame): DataFrame =
+    edges.selectExpr("hi AS u", "lo AS v")
+      .groupBy("u").agg(collect_set(col("v")).as("nbrs"))
+      .selectExpr("u", "array_min(nbrs) AS m", "nbrs")
+      .selectExpr("m AS lo",
+        "explode(filter(array_union(nbrs, array(u)), v -> v != m)) AS hi")
+      .dropDuplicates("lo", "hi")
+
+  /** Cheap order-independent edge-set fingerprint: (row count, XOR of
+    * per-edge hashes) — one scalar row per iteration, never the edges.
+    * XOR (not sum): the edge set is distinct, so XOR is collision-safe
+    * to the same degree, and it cannot overflow under ANSI arithmetic.
+    */
+  private def fingerprint(edges: DataFrame): (Long, Long) = {
+    val r = edges
+      .agg(count(lit(1)), bit_xor(xxhash64(col("lo"), col("hi"))))
+      .head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  /** t26: dup-graph components with sizes — (doc_id, component, csize),
+    * one row per document that participates in at least one dup pair.
+    */
+  def dupComponents(spark: SparkSession, sfDir: String,
+      fam: HashFamily = HashFamily.Xx64): DataFrame = {
+    val labeled = connectedComponents(dupEdges(spark, sfDir, fam))
+    val sizes = labeled.groupBy("component")
+      .agg(count(lit(1)).cast("long").as("csize"))
+    labeled.join(sizes, Seq("component"))
+      .select(col("id").as("doc_id"), col("component"), col("csize"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t26_dup_components" ->
+      ((s, d) => dupComponents(s, d, fam = HashFamily.of(s)))
+  )
+
+  val oracles: Map[String, String] = Map(
+    // Transitive closure of the SAME edge set by a different algorithm:
+    // t6's pair CTEs verbatim + exact-dup edges, symmetrized, then a
+    // recursive min-label reachability walk (component = min reachable
+    // node id).
+    "t26_dup_components" ->
+      s"""WITH RECURSIVE ${Dedup.MinhashPairCtes},
+         |exg AS (
+         |  SELECT sha256(text) AS h, min(doc_id) AS keep_id
+         |  FROM documents GROUP BY sha256(text)),
+         |exact_e AS (
+         |  SELECT g.keep_id AS id_a, d.doc_id AS id_b
+         |  FROM documents d JOIN exg g ON sha256(d.text) = g.h
+         |  WHERE d.doc_id <> g.keep_id),
+         |edges AS (
+         |  SELECT id_a, id_b FROM pairs50
+         |  UNION
+         |  SELECT id_a, id_b FROM exact_e),
+         |sym AS (
+         |  SELECT id_a AS u, id_b AS v FROM edges
+         |  UNION
+         |  SELECT id_b AS u, id_a AS v FROM edges),
+         |walk(id, comp) AS (
+         |  SELECT u, u FROM sym
+         |  UNION
+         |  SELECT s.v, w.comp FROM walk w JOIN sym s ON s.u = w.id),
+         |lab AS (SELECT id, min(comp) AS component FROM walk GROUP BY id),
+         |sz AS (SELECT component, CAST(count(*) AS BIGINT) AS csize
+         |       FROM lab GROUP BY component)
+         |SELECT lab.id AS doc_id, CAST(lab.component AS BIGINT) AS component, sz.csize
+         |FROM lab JOIN sz ON lab.component = sz.component""".stripMargin
+  )
+}

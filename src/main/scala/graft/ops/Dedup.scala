@@ -783,6 +783,25 @@ object Dedup {
        |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 16)) AS b) bb)""".stripMargin
   }
 
+  /** Shared DuckDB CTE prefix extending [[MinhashBandCtes]] to the
+    * VERIFIED near-dup pair relation `pairs50(id_a, id_b, est_jaccard)`
+    * (band-share candidates, est ≥ 0.5) — the t6 result set. Factored so
+    * the t26 connected-components oracle consumes the IDENTICAL pair
+    * text t6 is checked against (any drift desyncs both, loudly).
+    */
+  private[ops] lazy val MinhashPairCtes: String =
+    s"""$MinhashBandCtes,
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+       |         x.sig AS sig_a, y.sig AS sig_b
+       |  FROM bands x JOIN bands y
+       |    ON x.b = y.b AND x.bk = y.bk AND x.doc_id < y.doc_id),
+       |pairs50 AS (
+       |  SELECT id_a, id_b,
+       |         round(CAST(len(list_filter(range(1, 65), j -> sig_a[j] = sig_b[j])) AS DOUBLE) / 64, 4) AS est_jaccard
+       |  FROM cand
+       |  WHERE round(CAST(len(list_filter(range(1, 65), j -> sig_a[j] = sig_b[j])) AS DOUBLE) / 64, 4) >= 0.5)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "t1_exact_dedup" ->
       """SELECT sha256(text) AS h, CAST(count(*) AS BIGINT) AS n, min(doc_id) AS keep_id
@@ -791,16 +810,8 @@ object Dedup {
     // same affine family (constants inlined from MinhashA/MinhashB), same
     // banding and estimate — byte-equal candidates and est_jaccard.
     "t6_minhash_lsh" ->
-      s"""WITH $MinhashBandCtes,
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
-         |         x.sig AS sig_a, y.sig AS sig_b
-         |  FROM bands x JOIN bands y
-         |    ON x.b = y.b AND x.bk = y.bk AND x.doc_id < y.doc_id)
-         |SELECT id_a, id_b,
-         |       round(CAST(len(list_filter(range(1, 65), j -> sig_a[j] = sig_b[j])) AS DOUBLE) / 64, 4) AS est_jaccard
-         |FROM cand
-         |WHERE round(CAST(len(list_filter(range(1, 65), j -> sig_a[j] = sig_b[j])) AS DOUBLE) / 64, 4) >= 0.5""".stripMargin,
+      s"""WITH $MinhashPairCtes
+         |SELECT id_a, id_b, est_jaccard FROM pairs50""".stripMargin,
     // Decontamination mirror: distinct-shingle overlap counts between the
     // benchmark slice and the corpus — the join is on the raw shingle, so
     // the mirror is family-independent.

@@ -1,0 +1,180 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.spark.{LmExpressions, LmModel}
+
+/** t27 — n-gram LANGUAGE-MODEL QUALITY SCORING (the CCNet-style
+  * perplexity filter): fit a stupid-backoff bigram LM on the corpus'
+  * own token statistics, then score every document's cross-entropy
+  * under it. Low cross-entropy ≈ the document looks like the corpus
+  * (fluent, conventional); high ≈ OOV-heavy, scrambled, or boilerplate
+  * the tokenizer shreds — the standard mid-step between the cheap
+  * per-row heuristics (t3 ratios, t15 repetition) and model-based
+  * filtering, and the signal CCNet buckets corpora by before training.
+  *
+  * Model: capped count tables — top [[VocabK]] unigrams and top
+  * [[BigramK]] bigrams by (count DESC, key ASC) — plus the UNCAPPED
+  * total token count. Scoring per token i:
+  *
+  *   p = c2(w_{i-1} w_i)/c1(w_{i-1})  when both tables hit
+  *     | 0.4 · c1(w_i)/total          when w_i is in-vocab (backoff)
+  *     | 0.4 / total                  OOV floor
+  *
+  * cross_entropy = −(Σ ln p)/(n−1), 0.0 for docs with < 2 tokens.
+  *
+  * Scale shape — fit: two map-side-combine shuffles keyed by token /
+  * bigram (the classic word-count plans), then ONE bounded driver
+  * collect per table, bounded by the CAPS (VocabK + BigramK rows — the
+  * same justified-collect contract as t14's 512-vector IVF sample),
+  * never by corpus size. Score: a PER-ROW projection — the model rides
+  * to executors as a plan reference object (the broadcast-variable
+  * analogue, see [[graft.spark.LmModel]]), the corpus is scanned once,
+  * and NOTHING shuffles (PlanSpec pins the scoring plan exchange-free
+  * and join-free). The join-based alternative would shuffle ~20 B per
+  * corpus token to reassemble per-doc sums — a corpus-sized exchange
+  * at 100 TB.
+  *
+  * Oracle: the DuckDB mirror rebuilds the same capped tables with the
+  * same tie-breaks and reassembles each document's ln-sum with
+  * `list_reduce(list(lp ORDER BY i))` — the identical left-to-right
+  * IEEE summation order as the expression's fold, so the rounded
+  * cross-entropy matches bit-for-bit (same discipline as the cosine
+  * oracles).
+  */
+object LangModel {
+
+  /** Caps sized to BIND at verify scale (the synthetic documents table
+    * has 31 distinct tokens and ~916 distinct bigrams at sf0.01), so the
+    * oracle exercises the top-K tie-break and the OOV/backoff paths —
+    * not just the happy path. A production fit would raise these to
+    * CCNet-like sizes (10⁵–10⁶); the fit collect stays bounded by them
+    * either way.
+    */
+  val VocabK = 24
+  val BigramK = 512
+  val Backoff = 0.4
+
+  def tokensDf(docs: DataFrame): DataFrame =
+    docs.selectExpr(
+      "doc_id",
+      s"filter(split(text, ${Tokenize.SparkWs}), x -> x != '') AS toks")
+
+  /** Fit the capped count tables. The token relation is staged once
+    * (two aggregations consume it); the unigram relation is staged once
+    * (total + top-K consume it). Collects are bounded by the caps.
+    */
+  def fit(docs: DataFrame, vocabK: Int = VocabK,
+      bigramK: Int = BigramK): LmModel = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val toks = Staging.materialize(tokensDf(docs), "lm_toks")
+    val uni0 = Staging.materialize(
+      toks.selectExpr("explode(toks) AS tok")
+        .groupBy("tok").agg(count(lit(1)).as("c")),
+      "lm_uni")
+    val totalRow = uni0.agg(sum(col("c"))).head()
+    val total =
+      if (totalRow.isNullAt(0)) 1L else math.max(1L, totalRow.getLong(0))
+    val uniTop = uni0
+      .orderBy(col("c").desc, col("tok").asc).limit(vocabK).collect()
+    val bigTop = toks
+      .where(size(col("toks")) >= 2)
+      .selectExpr(
+        """explode(transform(sequence(2, size(toks)),
+          |  i -> concat(element_at(toks, i - 1), ' ', element_at(toks, i)))) AS bg"""
+          .stripMargin.replace("\n", " "))
+      .groupBy("bg").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("bg").asc).limit(bigramK).collect()
+    val uniMap = new java.util.HashMap[UTF8String, java.lang.Long](vocabK * 2)
+    uniTop.foreach(r =>
+      uniMap.put(UTF8String.fromString(r.getString(0)), r.getLong(1)))
+    val bigMap = new java.util.HashMap[UTF8String, java.lang.Long](bigramK * 2)
+    bigTop.foreach(r =>
+      bigMap.put(UTF8String.fromString(r.getString(0)), r.getLong(1)))
+    new LmModel(uniMap, bigMap, total.toDouble, Backoff)
+  }
+
+  /** t27: (doc_id, n_tokens, oov, hits2, cross_entropy) for every doc. */
+  def lmScore(spark: SparkSession, sfDir: String,
+      vocabK: Int = VocabK, bigramK: Int = BigramK): DataFrame = {
+    val docs = Dedup.docs(spark, sfDir)
+    lmScoreOn(docs, fit(docs, vocabK, bigramK))
+  }
+
+  /** Score `docs` under an already-fitted model — the production shape
+    * (fit once on a reference slice, score many corpora / batches).
+    */
+  def lmScoreOn(docs: DataFrame, model: LmModel): DataFrame = {
+    LmExpressions.register(docs.sparkSession, model)
+    tokensDf(docs)
+      .selectExpr(
+        "doc_id",
+        "CAST(size(toks) AS BIGINT) AS n_tokens",
+        "lm_score(toks) AS sc")
+      .selectExpr(
+        "doc_id", "n_tokens", "sc.oov AS oov", "sc.hits2 AS hits2",
+        """CASE WHEN n_tokens < 2 THEN 0.0D
+          |ELSE round(-sc.lp_sum / CAST(n_tokens - 1 AS DOUBLE), 4) END AS cross_entropy"""
+          .stripMargin.replace("\n", " "))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t27_lm_score" -> ((s, d) => lmScore(s, d))
+  )
+
+  val oracles: Map[String, String] = Map(
+    // Same capped tables (same tie-breaks: count DESC, then the token /
+    // the space-joined bigram key ASC — tokens contain no whitespace, so
+    // the joined-key order is total), same backoff cascade, and the
+    // per-doc ln-sum reassembled in ascending-position order so the IEEE
+    // accumulation sequence matches the expression's fold exactly.
+    "t27_lm_score" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(regexp_split_to_array(text, ${Tokenize.DuckWs}), x -> x != '') AS tk
+         |  FROM documents),
+         |uni0 AS (
+         |  SELECT t AS tok, count(*) AS c
+         |  FROM (SELECT unnest(tk) AS t FROM toks) GROUP BY t),
+         |tot AS (SELECT CAST(greatest(1, coalesce(sum(c), 0)) AS DOUBLE) AS n FROM uni0),
+         |uni AS (SELECT tok, c FROM uni0 ORDER BY c DESC, tok LIMIT $VocabK),
+         |big0 AS (
+         |  SELECT w1, w2, count(*) AS c
+         |  FROM (SELECT tk[i-1] AS w1, tk[i] AS w2
+         |        FROM toks, UNNEST(generate_series(2, len(tk))) AS g(i))
+         |  GROUP BY w1, w2),
+         |big AS (SELECT w1, w2, c FROM big0 ORDER BY c DESC, w1 || ' ' || w2 LIMIT $BigramK),
+         |pos AS (
+         |  SELECT doc_id, i, tk[i-1] AS w1, tk[i] AS w2
+         |  FROM toks, UNNEST(generate_series(2, len(tk))) AS g(i)),
+         |lp AS (
+         |  SELECT p.doc_id, p.i,
+         |    CASE WHEN b.c IS NOT NULL AND u1.c IS NOT NULL
+         |         THEN ln(CAST(b.c AS DOUBLE) / CAST(u1.c AS DOUBLE))
+         |         WHEN u2.c IS NOT NULL THEN ln($Backoff * (CAST(u2.c AS DOUBLE) / (SELECT n FROM tot)))
+         |         ELSE ln($Backoff / (SELECT n FROM tot)) END AS lp,
+         |    CASE WHEN b.c IS NOT NULL AND u1.c IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |  FROM pos p
+         |  LEFT JOIN big b ON b.w1 = p.w1 AND b.w2 = p.w2
+         |  LEFT JOIN uni u1 ON u1.tok = p.w1
+         |  LEFT JOIN uni u2 ON u2.tok = p.w2),
+         |agg AS (
+         |  SELECT doc_id, list_reduce(list(lp ORDER BY i), (a, b) -> a + b) AS s,
+         |         CAST(sum(hit) AS BIGINT) AS hits2
+         |  FROM lp GROUP BY doc_id),
+         |oo AS (
+         |  SELECT x.doc_id, CAST(count(*) FILTER (WHERE u.tok IS NULL) AS BIGINT) AS oov
+         |  FROM (SELECT doc_id, unnest(tk) AS t FROM toks) x
+         |  LEFT JOIN uni u ON u.tok = x.t
+         |  GROUP BY x.doc_id)
+         |SELECT t.doc_id,
+         |  CAST(len(t.tk) AS BIGINT) AS n_tokens,
+         |  coalesce(oo.oov, CAST(0 AS BIGINT)) AS oov,
+         |  coalesce(a.hits2, CAST(0 AS BIGINT)) AS hits2,
+         |  CASE WHEN len(t.tk) < 2 THEN CAST(0.0 AS DOUBLE)
+         |       ELSE round(-a.s / CAST(len(t.tk) - 1 AS DOUBLE), 4) END AS cross_entropy
+         |FROM toks t
+         |LEFT JOIN agg a ON a.doc_id = t.doc_id
+         |LEFT JOIN oo ON oo.doc_id = t.doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,91 @@
+package graft.ops
+
+import graft.spark.SparkSpec
+
+/** Connected components (t26): the alternating large-star/small-star
+  * clustering is checked against hand-labeled graphs, a worst-case path
+  * graph (many rounds), an independent driver-side union-find on the
+  * real sf0.001 dup graph, and the durable-staging mode.
+  */
+class ComponentsSpec extends SparkSpec {
+
+  private val s = spark
+  import s.implicits._
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Components.connectedComponents(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("planted graph: chain + pair + triangle; self-loops drop out") {
+    val labels = cc(Seq(
+      (1L, 2L), (3L, 2L),          // chain 1-2-3 (one edge reversed)
+      (5L, 6L), (6L, 5L),          // duplicate pair both directions
+      (7L, 8L), (8L, 9L), (9L, 7L), // triangle
+      (4L, 4L)))                   // self-loop only: node 4 not a member
+    assert(labels == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      5L -> 5L, 6L -> 5L,
+      7L -> 7L, 8L -> 7L, 9L -> 7L))
+  }
+
+  test("path graph (worst case for round count) converges and labels to the min") {
+    val n = 64L
+    val labels = cc((0L until n - 1).map(i => (i, i + 1)))
+    assert(labels.size == n)
+    assert(labels.values.forall(_ == 0L))
+  }
+
+  test("star ops preserve connectivity on a random graph (vs driver union-find)") {
+    // Deterministic pseudo-random sparse graph over 200 nodes.
+    val edges = (0 until 300).map { i =>
+      val a = (i * 2654435761L) % 200
+      val b = (i * 40503L + 7) % 200
+      (a.min(b), a.max(b))
+    }.filter { case (a, b) => a != b }
+    val expected = unionFind(edges)
+    assert(cc(edges) == expected)
+  }
+
+  test("empty edge set yields empty labeling") {
+    assert(cc(Seq.empty) == Map.empty)
+  }
+
+  test("t26 on sf0.001 matches a driver-side union-find over the same edges") {
+    val fam = HashFamily.Xx64
+    val edges = Components.dupEdges(spark, sf001, fam)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(edges.nonEmpty, "sf0.001 should contain dup pairs")
+    val expected = unionFind(edges)
+    val sizes = expected.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val got = Components.dupComponents(spark, sf001, fam)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected.map { case (id, c) => (id, c, sizes(c)) }.toSet)
+    // at least one component must be transitive (size > 2) for the test
+    // to mean anything beyond pair echo
+    assert(got.exists(_._3 > 2), "expected a transitive cluster at sf0.001")
+  }
+
+  test("durable staging mode produces identical components") {
+    val dir = java.nio.file.Files.createTempDirectory("cc_staging").toString
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+    val plain = cc(edges)
+    spark.conf.set(Staging.ConfKey, dir)
+    try assert(cc(edges) == plain)
+    finally spark.conf.unset(Staging.ConfKey)
+  }
+
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      if (a != b) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(ra.max(rb)) = ra.min(rb)
+      }
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+}
