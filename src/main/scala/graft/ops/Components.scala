@@ -30,7 +30,7 @@ import org.apache.spark.sql.functions._
   * plan truncation — iterative joins otherwise grow the logical plan
   * exponentially — and durable parquet staging under
   * `graft.staging.dir`). Convergence is detected by a (count,
-  * hash-sum) fingerprint — one 1-row aggregate per iteration, the
+  * hash-XOR) fingerprint — one 1-row aggregate per iteration, the
   * driver never sees the edges themselves. A skewed super-component
   * (one boilerplate family of 10⁷ docs) concentrates into its root's
   * groupBy bucket only in the FINAL star, where the emitted edge count
@@ -112,7 +112,7 @@ object Components {
     * to min(Γ(u) ∪ {u}). One groupBy-node shuffle; emitted edges are
     * canonical (lo < hi) because v > u ≥ m.
     */
-  private[ops] def largeStar(edges: DataFrame): DataFrame =
+  private[graft] def largeStar(edges: DataFrame): DataFrame =
     edges.selectExpr("lo AS u", "hi AS v")
       .unionAll(edges.selectExpr("hi AS u", "lo AS v"))
       .groupBy("u").agg(collect_set(col("v")).as("nbrs"))
@@ -126,7 +126,7 @@ object Components {
     * output are canonical (lo < hi): every emitted v ∈ N(u) ∪ {u} with
     * v ≠ m satisfies v > m = min(N(u)).
     */
-  private[ops] def smallStar(edges: DataFrame): DataFrame =
+  private[graft] def smallStar(edges: DataFrame): DataFrame =
     edges.selectExpr("hi AS u", "lo AS v")
       .groupBy("u").agg(collect_set(col("v")).as("nbrs"))
       .selectExpr("u", "array_min(nbrs) AS m", "nbrs")

@@ -300,6 +300,44 @@ class PlanSpec extends SparkSpec {
       s"rank window not keyed by eval_id:\n$p")
   }
 
+  test("t26 star rounds: exactly one node-keyed exchange each, no join anywhere") {
+    // the per-iteration scale contract of connected components: each
+    // large-star / small-star is ONE groupBy(node) shuffle over the edge
+    // relation (with a map-side partial collect_set) — a join-based
+    // rewiring would exchange the edge set twice per round
+    val s = spark
+    import s.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("src", "dst")
+      .selectExpr("least(src, dst) AS lo", "greatest(src, dst) AS hi")
+    for ((name, df) <- Seq(
+        "largeStar" -> graft.ops.Components.largeStar(edges),
+        "smallStar" -> graft.ops.Components.smallStar(edges))) {
+      val p = plan(df)
+      assert(!p.contains("Join"), s"$name plans a join:\n${p.take(2000)}")
+      val nodeExchanges = "hashpartitioning\\(u".r.findAllIn(p).length
+      assert(nodeExchanges >= 1, s"$name: no node-keyed exchange:\n$p")
+      val wide = p.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning") && !l.contains("Reused"))
+      // groupBy(u) + the dropDuplicates(lo, hi) canonicalization
+      assert(wide <= 2, s"$name: ${wide} wide exchanges (expected ≤2):\n$p")
+      assert(p.contains("partial"), s"$name: no map-side partial aggregate:\n$p")
+    }
+  }
+
+  test("t27 LM scoring is a shuffle-free, join-free projection over a pruned scan") {
+    // the model rides to executors as a plan reference object — the
+    // join-based alternative shuffles ~20 B per corpus TOKEN to
+    // reassemble per-doc sums, a corpus-sized exchange at 100 TB
+    val docs = graft.ops.Dedup.docs(spark, sf001)
+    val model = graft.ops.LangModel.fit(docs)
+    val p = plan(graft.ops.LangModel.lmScoreOn(docs, model))
+    assert(!p.contains("Exchange"), s"t27 scoring shuffles:\n$p")
+    assert(!p.contains("Join"), s"t27 scoring joins:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"t27 scan not pruned to (doc_id, text):\n$p")
+    assert(p.contains("lm_score"), s"lm_score expression not in plan:\n$p")
+  }
+
   test("t20 funnel plan contains ONE dedup job: no second signature/banding stage") {
     // VERDICT r05 task 2: the driver query persists the dedup verdicts
     // and joins the read-back, so the FUNNEL plan itself must contain no
