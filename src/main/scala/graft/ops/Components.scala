@@ -158,41 +158,115 @@ object Components {
       .select(col("id").as("doc_id"), col("component"), col("csize"))
   }
 
+  /** t28 — CLUSTER-AWARE KEEPER SELECTION: the decision step that makes
+    * t26's clusters actionable. Plain dedup keeps the MIN-doc_id member
+    * of each cluster (t13); a curation pipeline prefers the BEST member —
+    * the mirror/boilerplate variant with the highest quality signal.
+    * Keeper per component = argmax by (stopword_ratio, n_words) with
+    * doc_id ASC as the final tie-break (round-4 ratios tie often, so the
+    * tie-break is load-bearing); output is a FULL-CORPUS verdict
+    * (doc_id, component, csize, is_keeper) — singletons are their own
+    * keepers.
+    *
+    * Scale shape: quality features are a per-row projection (here; a
+    * production run joins the PERSISTED t3 feature table instead of
+    * recomputing — same contract as t20's verdict join); the keeper
+    * argmax is ONE groupBy(component) with a map-side-combinable max_by
+    * over the dup-graph-sized labeled relation (narrow: 3×8 B + a
+    * double); the corpus-wide verdict is one doc_id equi-join against
+    * that small relation (AQE broadcasts it when it fits). Nothing
+    * corpus-sized shuffles except the narrow (doc_id, quality) stream.
+    */
+  def clusterKeepers(spark: SparkSession, sfDir: String,
+      fam: HashFamily = HashFamily.Xx64): DataFrame = {
+    val docsDf = Dedup.docs(spark, sfDir)
+    val comps = dupComponents(spark, sfDir, fam)
+    val q = docsDf.selectExpr(
+      "doc_id",
+      s"round(${TextOps.hits("en")} / greatest(size(${TextOps.Toks}), 1), 4) AS q_ratio",
+      s"CAST(size(${TextOps.Toks}) AS BIGINT) AS n_words")
+    val keepers = comps.join(q, Seq("doc_id"))
+      .groupBy("component")
+      .agg(max_by(
+        col("doc_id"),
+        struct(col("q_ratio"), col("n_words"), (-col("doc_id")).as("nid"))
+      ).as("keeper_id"))
+    docsDf.select(col("doc_id"))
+      .join(comps.join(keepers, Seq("component")), Seq("doc_id"), "left")
+      .selectExpr(
+        "doc_id",
+        "coalesce(component, doc_id) AS component",
+        "coalesce(csize, CAST(1 AS BIGINT)) AS csize",
+        "(keeper_id IS NULL OR doc_id = keeper_id) AS is_keeper")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t26_dup_components" ->
-      ((s, d) => dupComponents(s, d, fam = HashFamily.of(s)))
+      ((s, d) => dupComponents(s, d, fam = HashFamily.of(s))),
+    "t28_cluster_keepers" ->
+      ((s, d) => clusterKeepers(s, d, fam = HashFamily.of(s)))
   )
+
+  /** Shared DuckDB CTE chain labeling every dup-graph node with its
+    * component (min reachable id) and the component size: t6's pair CTEs
+    * verbatim + exact-dup edges, symmetrized, closed by a recursive
+    * min-label reachability walk — an independent algorithm from the
+    * star rounds. Factored so t26 and t28 consume the identical closure.
+    */
+  private val ComponentLabCtes: String =
+    s"""${Dedup.MinhashPairCtes},
+       |exg AS (
+       |  SELECT sha256(text) AS h, min(doc_id) AS keep_id
+       |  FROM documents GROUP BY sha256(text)),
+       |exact_e AS (
+       |  SELECT g.keep_id AS id_a, d.doc_id AS id_b
+       |  FROM documents d JOIN exg g ON sha256(d.text) = g.h
+       |  WHERE d.doc_id <> g.keep_id),
+       |edges AS (
+       |  SELECT id_a, id_b FROM pairs50
+       |  UNION
+       |  SELECT id_a, id_b FROM exact_e),
+       |sym AS (
+       |  SELECT id_a AS u, id_b AS v FROM edges
+       |  UNION
+       |  SELECT id_b AS u, id_a AS v FROM edges),
+       |walk(id, comp) AS (
+       |  SELECT u, u FROM sym
+       |  UNION
+       |  SELECT s.v, w.comp FROM walk w JOIN sym s ON s.u = w.id),
+       |lab AS (SELECT id, min(comp) AS component FROM walk GROUP BY id),
+       |sz AS (SELECT component, CAST(count(*) AS BIGINT) AS csize
+       |       FROM lab GROUP BY component)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // Transitive closure of the SAME edge set by a different algorithm:
-    // t6's pair CTEs verbatim + exact-dup edges, symmetrized, then a
-    // recursive min-label reachability walk (component = min reachable
-    // node id).
+    // recursive min-label reachability (see ComponentLabCtes).
     "t26_dup_components" ->
-      s"""WITH RECURSIVE ${Dedup.MinhashPairCtes},
-         |exg AS (
-         |  SELECT sha256(text) AS h, min(doc_id) AS keep_id
-         |  FROM documents GROUP BY sha256(text)),
-         |exact_e AS (
-         |  SELECT g.keep_id AS id_a, d.doc_id AS id_b
-         |  FROM documents d JOIN exg g ON sha256(d.text) = g.h
-         |  WHERE d.doc_id <> g.keep_id),
-         |edges AS (
-         |  SELECT id_a, id_b FROM pairs50
-         |  UNION
-         |  SELECT id_a, id_b FROM exact_e),
-         |sym AS (
-         |  SELECT id_a AS u, id_b AS v FROM edges
-         |  UNION
-         |  SELECT id_b AS u, id_a AS v FROM edges),
-         |walk(id, comp) AS (
-         |  SELECT u, u FROM sym
-         |  UNION
-         |  SELECT s.v, w.comp FROM walk w JOIN sym s ON s.u = w.id),
-         |lab AS (SELECT id, min(comp) AS component FROM walk GROUP BY id),
-         |sz AS (SELECT component, CAST(count(*) AS BIGINT) AS csize
-         |       FROM lab GROUP BY component)
+      s"""WITH RECURSIVE $ComponentLabCtes
          |SELECT lab.id AS doc_id, CAST(lab.component AS BIGINT) AS component, sz.csize
-         |FROM lab JOIN sz ON lab.component = sz.component""".stripMargin
+         |FROM lab JOIN sz ON lab.component = sz.component""".stripMargin,
+    // Keeper argmax re-derived with a window over the same closure; the
+    // quality fragments are TextOps' t3 mirror text verbatim.
+    "t28_cluster_keepers" ->
+      s"""WITH RECURSIVE $ComponentLabCtes,
+         |q AS (
+         |  SELECT doc_id,
+         |         round(${TextOps.dHits("en")} / greatest(len(${TextOps.dToks}), 1), 4) AS q_ratio,
+         |         CAST(len(${TextOps.dToks}) AS BIGINT) AS n_words
+         |  FROM documents),
+         |rk AS (
+         |  SELECT lab.id, lab.component,
+         |         row_number() OVER (PARTITION BY lab.component
+         |                            ORDER BY q.q_ratio DESC, q.n_words DESC, lab.id) AS rn
+         |  FROM lab JOIN q ON q.doc_id = lab.id),
+         |k AS (SELECT component, id AS keeper_id FROM rk WHERE rn = 1)
+         |SELECT d.doc_id,
+         |       CAST(coalesce(lab.component, d.doc_id) AS BIGINT) AS component,
+         |       coalesce(sz.csize, CAST(1 AS BIGINT)) AS csize,
+         |       (k.keeper_id IS NULL OR d.doc_id = k.keeper_id) AS is_keeper
+         |FROM documents d
+         |LEFT JOIN lab ON lab.id = d.doc_id
+         |LEFT JOIN sz ON sz.component = lab.component
+         |LEFT JOIN k ON k.component = lab.component""".stripMargin
   )
 }

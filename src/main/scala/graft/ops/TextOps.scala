@@ -138,10 +138,15 @@ object TextOps {
     * with a prepended 0 so DuckDB's init-free reduce matches Spark's
     * init-0 aggregate step-for-step, r04).
     */
+  /** DuckDB-side fragments mirroring [[Toks]] / [[hits]] — hoisted to the
+    * object so composing oracles (t28) reuse the IDENTICAL text t3 is
+    * checked against.
+    */
+  private[ops] def dToks = s"list_filter(regexp_split_to_array(text, ${Tokenize.DuckWs}), x -> x != '')"
+  private[ops] def dHits(l: String) =
+    s"len(list_filter(list_filter(regexp_split_to_array(lower(text), ${Tokenize.DuckWs}), x -> x != ''), x -> list_contains([${Stop(l).map(w => s"'$w'").mkString(",")}], x)))"
+
   val oracles: Map[String, String] = {
-    def dToks = s"list_filter(regexp_split_to_array(text, ${Tokenize.DuckWs}), x -> x != '')"
-    def dHits(l: String) =
-      s"len(list_filter(list_filter(regexp_split_to_array(lower(text), ${Tokenize.DuckWs}), x -> x != ''), x -> list_contains([${Stop(l).map(w => s"'$w'").mkString(",")}], x)))"
     val langs = Seq("en", "de", "fr", "es", "zh")
     val caseExpr = langs
       .map { l =>

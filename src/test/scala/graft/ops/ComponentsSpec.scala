@@ -74,6 +74,50 @@ class ComponentsSpec extends SparkSpec {
     finally spark.conf.unset(Staging.ConfKey)
   }
 
+  test("t28 keeper is the best-quality member, not the min id; singletons keep themselves") {
+    // Use sf0.001 but assert the semantics independently: recompute the
+    // expected keepers from t26's own components + a driver-side quality
+    // rank over the raw text.
+    val fam = HashFamily.Xx64
+    val docs = Dedup.docs(spark, sf001)
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val stop = TextOps.Stop("en").toSet
+    def quality(text: String): (Double, Long) = {
+      val toks = text.toLowerCase.split("[ \t\n\f\r]+").filter(_.nonEmpty)
+      val hits = toks.count(stop.contains)
+      val n = text.split("[ \t\n\f\r]+").count(_.nonEmpty).toLong
+      val ratio = BigDecimal(hits.toDouble / math.max(n, 1L))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (ratio, n)
+    }
+    val comps = Components.dupComponents(spark, sf001, fam)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expectedKeepers = comps.groupBy(_._2).map { case (c, members) =>
+      c -> members.keys.maxBy { id =>
+        val (r, n) = quality(docs(id)); (r, n, -id)
+      }
+    }
+    val got = Components.clusterKeepers(spark, sf001, fam)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.length == docs.size, "verdict must cover the whole corpus")
+    got.foreach { case (id, comp, csize, isKeeper) =>
+      comps.get(id) match {
+        case Some(c) =>
+          assert(comp == c, s"doc $id component mismatch")
+          assert(isKeeper == (expectedKeepers(c) == id),
+            s"doc $id keeper verdict wrong (expected keeper ${expectedKeepers(c)} for comp $c)")
+        case None =>
+          assert(comp == id && csize == 1L && isKeeper,
+            s"singleton $id must keep itself")
+      }
+    }
+    // the selection must differ from plain min-id keeping somewhere,
+    // or the quality rank is dead weight
+    assert(expectedKeepers.exists { case (c, k) => k != c },
+      "every keeper equals the min-id root — quality rank never mattered at sf0.001")
+  }
+
   private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     val parent = scala.collection.mutable.Map[Long, Long]()
     def find(x: Long): Long = {

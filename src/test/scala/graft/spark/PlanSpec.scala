@@ -23,7 +23,8 @@ class PlanSpec extends SparkSpec {
       graft.ops.Dedup.dedupPipeline(spark, sf001),
       graft.ops.Dedup.minhashIncremental(spark, sf001),
       graft.ops.Similarity.annLsh(spark, sf001),
-      graft.ops.Similarity.annIvf(spark, sf001))
+      graft.ops.Similarity.annIvf(spark, sf001),
+      graft.ops.Components.clusterKeepers(spark, sf001))
     for (q <- qs) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"cartesian in:\n${p.take(2000)}")
