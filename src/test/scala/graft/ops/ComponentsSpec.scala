@@ -74,6 +74,48 @@ class ComponentsSpec extends SparkSpec {
     finally spark.conf.unset(Staging.ConfKey)
   }
 
+  test("mergeComponents == clustering the union from scratch (random split)") {
+    val edges = (0 until 240).map { i =>
+      val a = (i * 2654435761L) % 160
+      val b = (i * 48271L + 11) % 160
+      (a.min(b), a.max(b))
+    }.filter { case (a, b) => a != b }
+    val (half1, half2) = edges.partition { case (a, b) => (a + b) % 2 == 0 }
+    val standing = Components.connectedComponents(half1.toDF("src", "dst"))
+    val merged = Components.mergeComponents(standing, half2.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged == cc(edges))
+  }
+
+  test("re-converging a star forest takes fewer rounds than clustering raw edges") {
+    // worst-case path graph from scratch vs the same graph presented as
+    // its converged forest plus one bridging edge — the ingest shape
+    val path = (0L until 63L).map(i => (i, i + 1))
+    val (labels, scratchRounds) = Components.ccWithRounds(
+      path.toDF("src", "dst"))
+    val (mergedLabels, mergeRounds) = Components.mergeWithRounds(
+      labels, Seq((63L, 64L)).toDF("src", "dst"))
+    val m = mergedLabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m.size == 65 && m.values.forall(_ == 0L))
+    assert(mergeRounds <= 2,
+      s"star-forest merge took $mergeRounds rounds (expected ≤2)")
+    assert(mergeRounds < scratchRounds,
+      s"merge ($mergeRounds) not cheaper than scratch ($scratchRounds)")
+  }
+
+  test("t29 incremental components == t26 full recompute on sf0.001") {
+    val fam = HashFamily.Xx64
+    val full = Components.dupComponents(spark, sf001, fam)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val inc = Components.incrementalComponents(spark, sf001, fam)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inc == full)
+    // the split must be non-trivial for the equality to mean anything:
+    // some clusters must span the batch/corpus boundary
+    assert(full.exists { case (id, c, _) => id % 4 == 0 && c % 4 != 0 },
+      "no cluster spans the batch/corpus split at sf0.001")
+  }
+
   test("t28 keeper is the best-quality member, not the min id; singletons keep themselves") {
     // Use sf0.001 but assert the semantics independently: recompute the
     // expected keepers from t26's own components + a driver-side quality
