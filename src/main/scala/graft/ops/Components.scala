@@ -92,10 +92,14 @@ object Components {
       .selectExpr("least(src, dst) AS lo", "greatest(src, dst) AS hi")
       .where(col("lo") =!= col("hi"))
       .dropDuplicates("lo", "hi")
-    val nodes = canonical.selectExpr("lo AS id")
-      .unionByName(canonical.selectExpr("hi AS id")).distinct()
 
     var edges = Staging.materialize(canonical, "cc_edges")
+    // Node universe from the STAGED relation — deriving it from
+    // `canonical` would re-execute the whole upstream edge pipeline
+    // (LSH banding, pair expansion, sha joins) at every action and keep
+    // that subtree in the plan.
+    val nodes = edges.selectExpr("lo AS id")
+      .unionByName(edges.selectExpr("hi AS id")).distinct()
     var fp = fingerprint(edges)
     var converged = false
     var it = 0
@@ -134,13 +138,20 @@ object Components {
   def mergeComponents(prevLabels: DataFrame, newEdges: DataFrame): DataFrame =
     mergeWithRounds(prevLabels, newEdges)._1
 
-  private[graft] def mergeWithRounds(prevLabels: DataFrame,
-      newEdges: DataFrame): (DataFrame, Int) = {
+  private[graft] def mergeWithRounds(prevLabels0: DataFrame,
+      newEdges0: DataFrame): (DataFrame, Int) = {
+    // prevLabels is consumed twice (forest + node universe); stage it so
+    // its lineage (a full CC run in t29) executes once. Self-loops are
+    // dropped up front so the node universe matches connectedComponents'
+    // (which never labels a self-loop-only node) and merge == scratch
+    // recompute holds for ANY edge source.
+    val prevLabels = Staging.materialize(prevLabels0, "cc_prev")
+    val newEdges = newEdges0.selectExpr("src", "dst")
+      .where(col("src") =!= col("dst"))
     val forest = prevLabels
       .where(col("id") =!= col("component"))
       .selectExpr("component AS src", "id AS dst")
-    val (merged, rounds) =
-      ccWithRounds(forest.unionByName(newEdges.selectExpr("src", "dst")))
+    val (merged, rounds) = ccWithRounds(forest.unionByName(newEdges))
     val allIds = prevLabels.select("id")
       .unionByName(newEdges.selectExpr("src AS id"))
       .unionByName(newEdges.selectExpr("dst AS id"))
@@ -148,6 +159,18 @@ object Components {
     val labels = allIds.join(merged, Seq("id"), "left")
       .selectExpr("id", "coalesce(component, id) AS component")
     (labels, rounds)
+  }
+
+  /** Attach component sizes: (id, component) → (doc_id, component,
+    * csize). The label relation is consumed twice (size aggregate +
+    * join), so it is staged first — its lineage is a full CC run.
+    */
+  private def withSizes(labels0: DataFrame): DataFrame = {
+    val labels = Staging.materialize(labels0, "cc_labels")
+    val sizes = labels.groupBy("component")
+      .agg(count(lit(1)).cast("long").as("csize"))
+    labels.join(sizes, Seq("component"))
+      .select(col("id").as("doc_id"), col("component"), col("csize"))
   }
 
   /** Large-star: for every node u, connect each STRICTLY LARGER neighbor
@@ -192,13 +215,8 @@ object Components {
     * one row per document that participates in at least one dup pair.
     */
   def dupComponents(spark: SparkSession, sfDir: String,
-      fam: HashFamily = HashFamily.Xx64): DataFrame = {
-    val labeled = connectedComponents(dupEdges(spark, sfDir, fam))
-    val sizes = labeled.groupBy("component")
-      .agg(count(lit(1)).cast("long").as("csize"))
-    labeled.join(sizes, Seq("component"))
-      .select(col("id").as("doc_id"), col("component"), col("csize"))
-  }
+      fam: HashFamily = HashFamily.Xx64): DataFrame =
+    withSizes(connectedComponents(dupEdges(spark, sfDir, fam)))
 
   /** t28 — CLUSTER-AWARE KEEPER SELECTION: the decision step that makes
     * t26's clusters actionable. Plain dedup keeps the MIN-doc_id member
@@ -222,7 +240,8 @@ object Components {
   def clusterKeepers(spark: SparkSession, sfDir: String,
       fam: HashFamily = HashFamily.Xx64): DataFrame = {
     val docsDf = Dedup.docs(spark, sfDir)
-    val comps = dupComponents(spark, sfDir, fam)
+    // Consumed twice (keeper argmax + the corpus verdict join).
+    val comps = Staging.materialize(dupComponents(spark, sfDir, fam), "t28_comps")
     val q = docsDf.selectExpr(
       "doc_id",
       s"round(${TextOps.hits("en")} / greatest(size(${TextOps.Toks}), 1), 4) AS q_ratio",
@@ -276,19 +295,17 @@ object Components {
       .select(col("new_id").as("src"), col("dup_of").as("dst"))
     // … plus its exact-dup links against the standing sha table and
     // within itself.
-    val bh = batch.select(col("doc_id"), sha2(col("text"), 256).as("h"))
+    // Consumed three times (keeper probe + within-batch group + join).
+    val bh = Staging.materialize(
+      batch.select(col("doc_id"), sha2(col("text"), 256).as("h")), "t29_bh")
     val exactToCorpus = bh.join(shaKeeper, Seq("h"))
       .select(col("keep_id").as("src"), col("doc_id").as("dst"))
     val exactWithinBatch = bh
       .join(bh.groupBy("h").agg(min(col("doc_id")).as("bkeep")), Seq("h"))
       .where(col("doc_id") =!= col("bkeep"))
       .select(col("bkeep").as("src"), col("doc_id").as("dst"))
-    val labels = mergeComponents(standing,
-      near.unionByName(exactToCorpus).unionByName(exactWithinBatch))
-    val sizes = labels.groupBy("component")
-      .agg(count(lit(1)).cast("long").as("csize"))
-    labels.join(sizes, Seq("component"))
-      .select(col("id").as("doc_id"), col("component"), col("csize"))
+    withSizes(mergeComponents(standing,
+      near.unionByName(exactToCorpus).unionByName(exactWithinBatch)))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

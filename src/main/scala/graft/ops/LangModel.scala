@@ -39,9 +39,12 @@ import graft.spark.{LmExpressions, LmModel}
   * Oracle: the DuckDB mirror rebuilds the same capped tables with the
   * same tie-breaks and reassembles each document's ln-sum with
   * `list_reduce(list(lp ORDER BY i))` — the identical left-to-right
-  * IEEE summation order as the expression's fold, so the rounded
-  * cross-entropy matches bit-for-bit (same discipline as the cosine
-  * oracles).
+  * summation order as the expression's fold. Unlike the cosine oracles
+  * (whose +,−,×,÷ are all IEEE exactly-rounded), ln is only
+  * within-1-ulp on either engine, so cross_entropy is emitted UNROUNDED
+  * and compared under the driver's 1e-9 relative tolerance — a
+  * round-to-4 would turn an ulp-level ln divergence at a 0.00005
+  * boundary into a 1e-4 mismatch the tolerance cannot absorb.
   */
 object LangModel {
 
@@ -56,10 +59,12 @@ object LangModel {
   val BigramK = 512
   val Backoff = 0.4
 
+  /** Tokenization is [[TextOps.Toks]] VERBATIM — the LM must sit on the
+    * same token stream as the rest of the feature family (t2/t3/t28), so
+    * a tokenizer change moves them together.
+    */
   def tokensDf(docs: DataFrame): DataFrame =
-    docs.selectExpr(
-      "doc_id",
-      s"filter(split(text, ${Tokenize.SparkWs}), x -> x != '') AS toks")
+    docs.selectExpr("doc_id", s"${TextOps.Toks} AS toks")
 
   /** Fit the capped count tables. The token relation is staged once
     * (two aggregations consume it); the unigram relation is staged once
@@ -95,6 +100,40 @@ object LangModel {
     new LmModel(uniMap, bigMap, total.toDouble, Backoff)
   }
 
+  /** Persist a fitted model as two parquet count tables + the scalar
+    * total — the ICEBERG.md §5c `lm_counts_uni`/`lm_counts_big` shape: a
+    * reference-corpus fit is written ONCE and every scoring run loads it
+    * (cap-bounded tables, so the load is a bounded driver read exactly
+    * like the fit's collect).
+    */
+  def save(spark: SparkSession, model: LmModel, dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    model.uni.asScala.toSeq.map { case (k, v) => (k.toString, v.longValue()) }
+      .toDF("tok", "c").repartition(1).write.mode("overwrite")
+      .parquet(s"$dir/lm_counts_uni")
+    model.big.asScala.toSeq.map { case (k, v) => (k.toString, v.longValue()) }
+      .toDF("bg", "c").repartition(1).write.mode("overwrite")
+      .parquet(s"$dir/lm_counts_big")
+    Seq((model.total, model.backoff)).toDF("total", "backoff")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/lm_meta")
+  }
+
+  /** Load a model persisted by [[save]]. */
+  def load(spark: SparkSession, dir: String): LmModel = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val uniRows = spark.read.parquet(s"$dir/lm_counts_uni").collect()
+    val bigRows = spark.read.parquet(s"$dir/lm_counts_big").collect()
+    val meta = spark.read.parquet(s"$dir/lm_meta").head()
+    val uniMap = new java.util.HashMap[UTF8String, java.lang.Long](uniRows.length * 2)
+    uniRows.foreach(r =>
+      uniMap.put(UTF8String.fromString(r.getString(0)), r.getLong(1)))
+    val bigMap = new java.util.HashMap[UTF8String, java.lang.Long](bigRows.length * 2)
+    bigRows.foreach(r =>
+      bigMap.put(UTF8String.fromString(r.getString(0)), r.getLong(1)))
+    new LmModel(uniMap, bigMap, meta.getDouble(0), meta.getDouble(1))
+  }
+
   /** t27: (doc_id, n_tokens, oov, hits2, cross_entropy) for every doc. */
   def lmScore(spark: SparkSession, sfDir: String,
       vocabK: Int = VocabK, bigramK: Int = BigramK): DataFrame = {
@@ -115,7 +154,7 @@ object LangModel {
       .selectExpr(
         "doc_id", "n_tokens", "sc.oov AS oov", "sc.hits2 AS hits2",
         """CASE WHEN n_tokens < 2 THEN 0.0D
-          |ELSE round(-sc.lp_sum / CAST(n_tokens - 1 AS DOUBLE), 4) END AS cross_entropy"""
+          |ELSE -sc.lp_sum / CAST(n_tokens - 1 AS DOUBLE) END AS cross_entropy"""
           .stripMargin.replace("\n", " "))
   }
 
@@ -131,7 +170,7 @@ object LangModel {
     // accumulation sequence matches the expression's fold exactly.
     "t27_lm_score" ->
       s"""WITH toks AS (
-         |  SELECT doc_id, list_filter(regexp_split_to_array(text, ${Tokenize.DuckWs}), x -> x != '') AS tk
+         |  SELECT doc_id, ${TextOps.dToks} AS tk
          |  FROM documents),
          |uni0 AS (
          |  SELECT t AS tok, count(*) AS c
@@ -172,7 +211,7 @@ object LangModel {
          |  coalesce(oo.oov, CAST(0 AS BIGINT)) AS oov,
          |  coalesce(a.hits2, CAST(0 AS BIGINT)) AS hits2,
          |  CASE WHEN len(t.tk) < 2 THEN CAST(0.0 AS DOUBLE)
-         |       ELSE round(-a.s / CAST(len(t.tk) - 1 AS DOUBLE), 4) END AS cross_entropy
+         |       ELSE -a.s / CAST(len(t.tk) - 1 AS DOUBLE) END AS cross_entropy
          |FROM toks t
          |LEFT JOIN agg a ON a.doc_id = t.doc_id
          |LEFT JOIN oo ON oo.doc_id = t.doc_id""".stripMargin

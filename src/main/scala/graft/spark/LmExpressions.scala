@@ -43,29 +43,38 @@ final class LmModel(
     *                    | backoff / total                  OOV floor
     *
     * Returns (lp_sum = Σ ln p, hits2 = bigram-table hits, oov = tokens
-    * outside the capped vocab).
+    * outside the capped vocab). NULL array elements (legal for the SQL
+    * surface even though the t27 tokenizer never produces them) are
+    * scored deterministically as OOV — checked via isNullAt, because the
+    * physical encodings disagree on what getUTF8String returns for a
+    * null slot (GenericArrayData: null; UnsafeArrayData: undefined).
     */
   def score(toks: ArrayData): InternalRow = {
     val n = toks.numElements()
+    def tok(i: Int): UTF8String =
+      if (toks.isNullAt(i)) null else toks.getUTF8String(i)
     var sum = 0.0
     var hits = 0L
     var oov = 0L
     var i = 0
     while (i < n) {
-      if (uni.get(toks.getUTF8String(i)) == null) oov += 1
+      val w = tok(i)
+      if (w == null || uni.get(w) == null) oov += 1
       i += 1
     }
     i = 1
     while (i < n) {
-      val w1 = toks.getUTF8String(i - 1)
-      val w2 = toks.getUTF8String(i)
-      val bc = big.get(UTF8String.concat(w1, space, w2))
-      val uc1 = uni.get(w1)
+      val w1 = tok(i - 1)
+      val w2 = tok(i)
+      val bc =
+        if (w1 != null && w2 != null) big.get(UTF8String.concat(w1, space, w2))
+        else null
+      val uc1 = if (w1 != null) uni.get(w1) else null
       if (bc != null && uc1 != null) {
         sum += Math.log(bc.doubleValue() / uc1.doubleValue())
         hits += 1L
       } else {
-        val uc2 = uni.get(w2)
+        val uc2 = if (w2 != null) uni.get(w2) else null
         sum +=
           (if (uc2 != null) Math.log(backoff * (uc2.doubleValue() / total))
            else Math.log(backoff / total))

@@ -87,6 +87,14 @@ class ComponentsSpec extends SparkSpec {
     assert(merged == cc(edges))
   }
 
+  test("mergeComponents treats self-loop-only nodes like a scratch recompute (dropped)") {
+    val prev = Components.connectedComponents(Seq((1L, 2L)).toDF("src", "dst"))
+    val merged = Components.mergeComponents(
+      prev, Seq((4L, 4L), (2L, 3L)).toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("re-converging a star forest takes fewer rounds than clustering raw edges") {
     // worst-case path graph from scratch vs the same graph presented as
     // its converged forest plus one bridging edge — the ingest shape
