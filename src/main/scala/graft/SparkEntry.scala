@@ -65,6 +65,7 @@ object SparkEntry {
       graft.ops.LineDedup.queries ++
       graft.ops.Components.queries ++
       graft.ops.LangModel.queries ++
+      graft.ops.Substring.queries ++
       graft.ops.Similarity.queries ++
       graft.ops.Multimodal.queries ++
       Map(
@@ -102,6 +103,7 @@ object SparkEntry {
       graft.ops.LineDedup.oracles ++
       graft.ops.Components.oracles ++
       graft.ops.LangModel.oracles ++
+      graft.ops.Substring.oracles ++
       graft.ops.Similarity.oracles
 
   /** Superset of `oracleSql` including the oracles that can only be

@@ -339,6 +339,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("lm_score"), s"lm_score expression not in plan:\n$p")
   }
 
+  test("t30 substring coverage: ONE window-keyed exchange, analytic count, no win join") {
+    // the window relation is the corpus token stream — it must shuffle
+    // exactly ONCE on the window key; the df flag comes from an analytic
+    // count over that one exchange, NOT a groupBy+probe-join pair (whose
+    // aggregate side would shuffle the window keys a second time —
+    // a near-doubling of the dominant shuffle at 100 TB)
+    val p = plan(graft.ops.Substring.substringDup(spark, sf001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in t30:\n${p.take(2000)}")
+    val winExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(win") && !l.contains("Reused"))
+    assert(winExchanges == 1,
+      s"expected exactly 1 window-keyed exchange, got $winExchanges:\n$p")
+    assert(p.contains("Window ["), s"analytic count operator missing:\n$p")
+    val winJoins = p.linesIterator.count(l =>
+      l.contains("Join") && l.contains("win#"))
+    assert(winJoins == 0, s"join on the window key present:\n$p")
+  }
+
   test("t20 funnel plan contains ONE dedup job: no second signature/banding stage") {
     // VERDICT r05 task 2: the driver query persists the dedup verdicts
     // and joins the read-back, so the FUNNEL plan itself must contain no
