@@ -158,18 +158,90 @@ object LangModel {
           .stripMargin.replace("\n", " "))
   }
 
+  /** Quantization step for [[pplBuckets]] threshold keys: cross-entropy
+    * is keyed as `floor(ce · 1000)`. This is what BOUNDS the threshold
+    * state at any corpus size — ce lands in ≈[0, 30], so there are at
+    * most ~3·10⁴ distinct keys per language no matter how many documents
+    * exist (the same boundedness contract as the fit caps). The t27
+    * scaladoc's ln-ulp warning applies to any discretization: a bucket
+    * key flips only if a doc's true ce sits within ~1 ulp of a 1e-3
+    * grid line; on the deterministic verify corpus the closest doc is
+    * 9.2e-4 (in ce·1000 units) from a boundary — nine orders of margin.
+    */
+  val QuantSteps = 1000
+
+  /** t31 — CCNet-STYLE PERPLEXITY BUCKETING (Wenzek et al. LREC 2020
+    * §3.3): split each language's documents into head / middle / tail
+    * terciles of t27 cross-entropy — head ≈ fluent, corpus-like text,
+    * tail ≈ OOV-heavy or scrambled. The bucket is the unit CCNet keeps,
+    * inspects, or drops per language; together with t24 (line dedup)
+    * and t27 (the LM itself) this completes the CCNet pipeline trilogy.
+    *
+    * Thresholds are DISCRETE (type-1) quantiles over the quantized key,
+    * derived with pure integer logic: t1 = smallest q with
+    * 3·cum(q) ≥ n, t2 = smallest q with 3·cum(q) ≥ 2n, computed per
+    * language from a (lang, q) HISTOGRAM — never from per-document
+    * ranks. No interpolation, no float thresholds, so the DuckDB mirror
+    * agrees exactly (interpolating `percentile`/`quantile_cont`
+    * formulas differ at the ulp level across engines, and a
+    * corpus-ranking window would also be the wrong plan — see below).
+    *
+    * Scale shape: scoring is t27's shuffle-free projection; the
+    * CORPUS NEVER SHUFFLES (PlanSpec pins zero doc_id-keyed
+    * exchanges). The histogram groupBy(lang, q) is the only wide edge
+    * the corpus feeds, and map-side partial combine collapses it to
+    * ≤ |langs|·3·10⁴ rows per task regardless of corpus size. The
+    * cum/threshold windows run OVER THE HISTOGRAM (bounded), not the
+    * corpus — the `row_number() OVER (PARTITION BY lang)` alternative
+    * would put half of 100 TB (English) through ONE reduce partition.
+    * The tiny threshold table broadcasts back for the per-row CASE.
+    * Production scores from the persisted t27 table (ICEBERG.md §5c);
+    * the sandbox recomputes the cheap projection per consumer.
+    */
+  def pplBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Dedup.docs(spark, sfDir)
+    pplBucketsOn(docs, fit(docs))
+  }
+
+  def pplBucketsOn(docs: DataFrame, model: LmModel): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    LmExpressions.register(docs.sparkSession, model)
+    val scored = docs
+      .selectExpr("doc_id", "lang", s"${TextOps.Toks} AS toks")
+      .selectExpr("doc_id", "lang",
+        "CAST(size(toks) AS BIGINT) AS n_tokens", "lm_score(toks) AS sc")
+      .selectExpr("doc_id", "lang",
+        """CASE WHEN n_tokens < 2 THEN 0.0D
+          |ELSE -sc.lp_sum / CAST(n_tokens - 1 AS DOUBLE) END AS cross_entropy"""
+          .stripMargin.replace("\n", " "))
+      .selectExpr("doc_id", "lang", "cross_entropy",
+        s"CAST(floor(cross_entropy * ${QuantSteps}.0D) AS BIGINT) AS q")
+    val hist = scored.groupBy("lang", "q").agg(count(lit(1)).as("c"))
+    val cum = hist
+      .withColumn("cum",
+        sum(col("c")).over(Window.partitionBy("lang").orderBy("q")))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("lang")))
+    val thr = cum.groupBy("lang").agg(
+      min(when(col("cum") * 3 >= col("n"), col("q"))).as("t1"),
+      min(when(col("cum") * 3 >= col("n") * 2, col("q"))).as("t2"))
+    scored.join(broadcast(thr), Seq("lang"))
+      .selectExpr("doc_id", "lang", "cross_entropy",
+        """CASE WHEN q <= t1 THEN 'head'
+          |WHEN q <= t2 THEN 'middle'
+          |ELSE 'tail' END AS bucket""".stripMargin.replace("\n", " "))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "t27_lm_score" -> ((s, d) => lmScore(s, d))
+    "t27_lm_score" -> ((s, d) => lmScore(s, d)),
+    "t31_ppl_buckets" -> ((s, d) => pplBuckets(s, d))
   )
 
-  val oracles: Map[String, String] = Map(
-    // Same capped tables (same tie-breaks: count DESC, then the token /
-    // the space-joined bigram key ASC — tokens contain no whitespace, so
-    // the joined-key order is total), same backoff cascade, and the
-    // per-doc ln-sum reassembled in ascending-position order so the IEEE
-    // accumulation sequence matches the expression's fold exactly.
-    "t27_lm_score" ->
-      s"""WITH toks AS (
+  /** Shared oracle CTE chain: the t27 model fit + per-token log-probs +
+    * per-doc sums. Both the t27 and t31 mirrors are built from this ONE
+    * string so the model definitions cannot drift apart.
+    */
+  private val ceCtes: String =
+    s"""WITH toks AS (
          |  SELECT doc_id, ${TextOps.dToks} AS tk
          |  FROM documents),
          |uni0 AS (
@@ -205,7 +277,16 @@ object LangModel {
          |  SELECT x.doc_id, CAST(count(*) FILTER (WHERE u.tok IS NULL) AS BIGINT) AS oov
          |  FROM (SELECT doc_id, unnest(tk) AS t FROM toks) x
          |  LEFT JOIN uni u ON u.tok = x.t
-         |  GROUP BY x.doc_id)
+         |  GROUP BY x.doc_id)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    // Same capped tables (same tie-breaks: count DESC, then the token /
+    // the space-joined bigram key ASC — tokens contain no whitespace, so
+    // the joined-key order is total), same backoff cascade, and the
+    // per-doc ln-sum reassembled in ascending-position order so the IEEE
+    // accumulation sequence matches the expression's fold exactly.
+    "t27_lm_score" ->
+      s"""$ceCtes
          |SELECT t.doc_id,
          |  CAST(len(t.tk) AS BIGINT) AS n_tokens,
          |  coalesce(oo.oov, CAST(0 AS BIGINT)) AS oov,
@@ -214,6 +295,36 @@ object LangModel {
          |       ELSE -a.s / CAST(len(t.tk) - 1 AS DOUBLE) END AS cross_entropy
          |FROM toks t
          |LEFT JOIN agg a ON a.doc_id = t.doc_id
-         |LEFT JOIN oo ON oo.doc_id = t.doc_id""".stripMargin
+         |LEFT JOIN oo ON oo.doc_id = t.doc_id""".stripMargin,
+    // Same ce values (the shared CTEs above), the same floor-quantized
+    // key, and the same pure-integer discrete-quantile thresholds —
+    // re-derived from a per-doc cumulative window instead of the
+    // histogram fold: same type-1 quantile, different mechanism.
+    "t31_ppl_buckets" ->
+      s"""$ceCtes,
+         |ce AS (
+         |  SELECT t.doc_id,
+         |    CASE WHEN len(t.tk) < 2 THEN CAST(0.0 AS DOUBLE)
+         |         ELSE -a.s / CAST(len(t.tk) - 1 AS DOUBLE) END AS ce
+         |  FROM toks t LEFT JOIN agg a ON a.doc_id = t.doc_id),
+         |qx AS (
+         |  SELECT c.doc_id, d.lang, c.ce,
+         |         CAST(floor(c.ce * ${QuantSteps}.0) AS BIGINT) AS q
+         |  FROM ce c JOIN documents d ON d.doc_id = c.doc_id),
+         |cnt AS (SELECT lang, count(*) AS n FROM qx GROUP BY lang),
+         |cq AS (
+         |  SELECT lang, q,
+         |         count(*) OVER (PARTITION BY lang ORDER BY q) AS cum
+         |  FROM qx),
+         |thr AS (
+         |  SELECT c.lang,
+         |         min(q) FILTER (WHERE cum * 3 >= n) AS t1,
+         |         min(q) FILTER (WHERE cum * 3 >= 2 * n) AS t2
+         |  FROM cq JOIN cnt c ON c.lang = cq.lang GROUP BY c.lang)
+         |SELECT x.doc_id, x.lang, x.ce AS cross_entropy,
+         |  CASE WHEN x.q <= t.t1 THEN 'head'
+         |       WHEN x.q <= t.t2 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM qx x JOIN thr t ON t.lang = x.lang""".stripMargin
   )
 }

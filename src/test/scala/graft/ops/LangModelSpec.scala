@@ -78,6 +78,89 @@ class LangModelSpec extends SparkSpec {
     assert(r.getLong(0) == 1L && r.getLong(1) == 0L)
   }
 
+  // ---- t31 perplexity bucketing ----
+
+  /** Independent driver-side recompute of the t31 contract: quantize,
+    * then per lang the pure-integer discrete-quantile thresholds.
+    */
+  private def bucketsByHand(ces: Map[Long, (String, Double)]): Map[Long, String] = {
+    val byLang = ces.groupBy(_._2._1)
+    byLang.flatMap { case (_, docs) =>
+      val qs = docs.view.mapValues { case (_, ce) =>
+        math.floor(ce * LangModel.QuantSteps).toLong
+      }.toMap
+      val n = qs.size
+      val sorted = qs.values.toSeq.sorted
+      def thr(mult: Int): Long =
+        sorted.find(q => sorted.count(_ <= q) * 3 >= mult * n).get
+      val (t1, t2) = (thr(1), thr(2))
+      qs.map { case (id, q) =>
+        id -> (if (q <= t1) "head" else if (q <= t2) "middle" else "tail")
+      }
+    }
+  }
+
+  private def bucketRows(df: org.apache.spark.sql.DataFrame)
+      : Map[Long, (String, Double, String)] =
+    df.collect().map(r =>
+      r.getLong(0) -> ((r.getString(1), r.getDouble(2), r.getString(3)))).toMap
+
+  test("t31: buckets match an independent driver-side recompute (two langs, ties, ce=0)") {
+    // Nine en docs with a ce spread (increasing OOV density), an exact
+    // tie pair (identical text), a < 2-token doc (ce = 0 -> head), and a
+    // second language whose thresholds must be independent.
+    val planted = (
+      (1 to 9).map(i => (i.toLong, ("a b " * (10 - i)) + (1 to i).map(k => s"oov$k").mkString(" "), "en")) ++
+        Seq((10L, "a b a b c", "en"), (11L, "a b a b c", "en"), (12L, "solo", "en"),
+          (13L, "a b a b", "xx"), (14L, "a b c z", "xx"), (15L, "q r oovx oovy", "xx"))
+      ).toDF("doc_id", "text", "lang")
+    val model = LangModel.fit(planted)
+    val got = bucketRows(LangModel.pplBucketsOn(planted, model))
+    assert(got.size == 15)
+    val ces = got.map { case (id, (lang, ce, _)) => id -> ((lang, ce)) }
+    val expect = bucketsByHand(ces)
+    got.foreach { case (id, (_, _, b)) =>
+      assert(b == expect(id), s"doc $id: got $b, expected ${expect(id)}")
+    }
+    // the tie pair shares a bucket; the sub-2-token doc heads its lang
+    assert(got(10L)._3 == got(11L)._3)
+    assert(got(12L)._2 == 0.0 && got(12L)._3 == "head")
+    // both langs produced all three buckets
+    Seq("en", "xx").foreach { l =>
+      val bs = got.values.filter(_._1 == l).map(_._3).toSet
+      assert(bs == Set("head", "middle", "tail"), s"$l buckets: $bs")
+    }
+  }
+
+  test("t31: real data — per-lang tercile invariants, t27 consistency, determinism") {
+    val got = bucketRows(LangModel.pplBuckets(spark, sf001))
+    assert(got.size == 500)
+    // ce values are byte-identical to t27's (same expression, same fit)
+    val t27ce = LangModel.lmScore(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    got.foreach { case (id, (_, ce, _)) => assert(ce == t27ce(id), s"doc $id ce drift") }
+    // discrete-quantile invariants per lang, on the quantized key:
+    // #(q <= t1)*3 >= n with t1 minimal, same at 2n; ordering strict
+    got.groupBy(_._2._1).foreach { case (lang, docs) =>
+      // .toSeq BEFORE .map: mapping the Map with a pair-producing fn
+      // would rebuild a Map keyed by q and silently collapse ties
+      val qs = docs.toSeq.map { case (_, (_, ce, b)) =>
+        (math.floor(ce * LangModel.QuantSteps).toLong, b) }
+      val n = qs.size
+      val h = qs.count(_._2 == "head"); val m = qs.count(_._2 == "middle")
+      assert(h > 0 && m > 0 && h + m < n, s"$lang missing a bucket (h=$h m=$m n=$n)")
+      val t1 = qs.filter(_._2 == "head").map(_._1).max
+      assert(h * 3 >= n, s"$lang head too small")
+      assert((h - qs.count(q => q._1 == t1)) * 3 < n, s"$lang t1 not minimal")
+      val t2 = qs.filter(_._2 == "middle").map(_._1).max
+      assert((h + m) * 3 >= 2 * n, s"$lang head+middle too small")
+      assert((h + m - qs.count(q => q._1 == t2)) * 3 < 2 * n, s"$lang t2 not minimal")
+      assert(t1 < qs.filter(_._2 == "middle").map(_._1).min, s"$lang head/middle overlap")
+      assert(t2 < qs.filter(_._2 == "tail").map(_._1).min, s"$lang middle/tail overlap")
+    }
+    assert(bucketRows(LangModel.pplBuckets(spark, sf001)) == got)
+  }
+
   test("persisted model round-trips: fit -> save -> load -> score == fit-score") {
     val dir = java.nio.file.Files.createTempDirectory("lm_model").toString
     val model = LangModel.fit(docs)

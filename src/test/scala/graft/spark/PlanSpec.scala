@@ -358,6 +358,23 @@ class PlanSpec extends SparkSpec {
     assert(winJoins == 0, s"join on the window key present:\n$p")
   }
 
+  test("t31 ppl buckets: corpus never shuffles; thresholds broadcast back") {
+    // the only wide edge the corpus feeds is the (lang, q) histogram
+    // groupBy (map-side combined to a bounded relation); the cum /
+    // threshold windows run over the HISTOGRAM, and the threshold table
+    // must come back as a broadcast join — any doc_id-keyed exchange
+    // means the corpus itself shuffled
+    val p = plan(graft.ops.LangModel.pplBuckets(spark, sf001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in t31:\n${p.take(2000)}")
+    assert(!p.contains("Exchange hashpartitioning(doc_id"),
+      s"corpus shuffled by doc_id:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"threshold table not broadcast:\n$p")
+    assert(p.contains("partial_count"),
+      s"histogram has no map-side partial:\n$p")
+  }
+
   test("t20 funnel plan contains ONE dedup job: no second signature/banding stage") {
     // VERDICT r05 task 2: the driver query persists the dedup verdicts
     // and joins the read-back, so the FUNNEL plan itself must contain no
