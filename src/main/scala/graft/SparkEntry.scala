@@ -66,6 +66,7 @@ object SparkEntry {
       graft.ops.Components.queries ++
       graft.ops.LangModel.queries ++
       graft.ops.Substring.queries ++
+      graft.ops.TrainOrder.queries ++
       graft.ops.Similarity.queries ++
       graft.ops.Multimodal.queries ++
       Map(
@@ -104,6 +105,7 @@ object SparkEntry {
       graft.ops.Components.oracles ++
       graft.ops.LangModel.oracles ++
       graft.ops.Substring.oracles ++
+      graft.ops.TrainOrder.oracles ++
       graft.ops.Similarity.oracles
 
   /** Superset of `oracleSql` including the oracles that can only be

@@ -45,71 +45,20 @@ object Packing {
 
   /** `df` must carry (doc_id, n_tokens). Partition count scales with the
     * input (bounded below for parallelism, above by the driver collect).
+    * The running total itself is [[PrefixSum.runningTotal]] — the shared
+    * two-phase distributed prefix sum (partition pinning, staging mode,
+    * and the narrow-coalesce partition-id subtlety are documented
+    * there); this operator contributes the token weights and the
+    * seq_id / seq_offset division.
     */
-  def sequencePackOn(df: DataFrame, seqLen: Long): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val parts = math.max(spark.sparkContext.defaultParallelism, 8)
-    // materialized so BOTH passes see the exact same partitions — the
-    // offsets are keyed by partition id, and re-running the range
-    // sampler between passes must not be able to move a row. Default:
-    // range-partition then localCheckpoint (pins the partitions
-    // executor-locally). Staging mode (`graft.staging.dir`, r05 task 4):
-    // persist the INPUT relation first, then range-partition the
-    // read-back WITHOUT a checkpoint — the single RDD value below holds
-    // one ShuffleDependency, so both passes reuse the same map outputs
-    // (the range sampler runs once per RDD instance), and the durable
-    // parquet input makes any recompute deterministic. Staging is
-    // applied before the range shuffle, not after, because a parquet
-    // read-back re-packs files into splits by size (FilePartition
-    // bin-packing), which would NOT preserve the range-partition
-    // boundaries the offset math keys on.
-    val base = df.select(col("doc_id"), col("n_tokens"))
-    val ranged = {
-      val src =
-        if (Staging.enabled(df)) Staging.materialize(base, "t22_pack_input")
-        else base
-      val r = src.repartitionByRange(parts, col("doc_id"))
-        .sortWithinPartitions("doc_id")
-        .as[(Long, Long)]
-      if (Staging.enabled(df)) r else r.localCheckpoint()
-    }
-    // phase 1+2: per-partition totals (P rows) to the driver. NB the
-    // partition id must come from mapPartitionsWithIndex, NOT
-    // TaskContext.getPartitionId(): the latter is the TASK's id, and a
-    // downstream narrow coalesce (e.g. Verify's coalesce(1) before the
-    // write) runs many RDD partitions inside one task — every partition
-    // would read offset[0] and the prefix sums would reset at each
-    // partition boundary (caught by the sf0.01 oracle).
-    val rangedRdd = ranged.rdd
-    val totals = rangedRdd
-      .mapPartitionsWithIndex { (pid, it) =>
-        var sum = 0L
-        var n = 0L
-        it.foreach { case (_, t) => sum += t; n += 1 }
-        if (n == 0) Iterator.empty else Iterator((pid, sum))
-      }
-      .collect().toMap
-    // phase 3: exclusive prefix offsets, broadcast into a second pass
-    val maxPid = if (totals.isEmpty) -1 else totals.keys.max
-    val offsets = new Array[Long](maxPid + 2)
-    for (p <- 0 to maxPid)
-      offsets(p + 1) = offsets(p) + totals.getOrElse(p, 0L)
-    val bc = spark.sparkContext.broadcast(offsets)
-    spark.createDataFrame(
-      rangedRdd.mapPartitionsWithIndex { (pid, it) =>
-        var cum = bc.value(math.min(pid, bc.value.length - 1))
-        it.map { case (id, t) =>
-          val before = cum
-          cum += t
-          (id, t, before)
-        }
-      })
-      .toDF("doc_id", "n_tokens", "cum_before")
+  def sequencePackOn(df: DataFrame, seqLen: Long): DataFrame =
+    PrefixSum.runningTotal(
+      df.select(col("doc_id"), col("n_tokens")),
+      orderCols = Seq("doc_id"), weightCol = "n_tokens",
+      outCol = "cum_before", stageLabel = "t22_pack_input")
       .selectExpr("doc_id", "n_tokens", "cum_before",
         s"cum_before div $seqLen AS seq_id",
         s"cum_before % $seqLen AS seq_offset")
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t22_sequence_pack" -> ((s, d) => sequencePack(s, d))
