@@ -67,9 +67,78 @@ object Sampling {
       .selectExpr("doc_id", "lang", s"${bucketSql(fam)} AS bucket")
       .filter(expr(s"bucket < $thresholdSql"))
 
+  // ---- t33: temperature-weighted language mixing ----
+
+  private val MixSalt = "mix|"
+
+  /** t33 — TEMPERATURE MIXING (α-sampling): derive each language's keep
+    * rate from the corpus' own counts so the sampled mixture follows
+    * p_s ∝ n_s^α with α = 1/2 — the standard multilingual rebalance
+    * (XLM-R/mT5-style: upweight tail languages, downsample the head)
+    * and the corpus-derived complement of t18's FIXED rate table. The
+    * output budget is half the corpus; a language whose α-share exceeds
+    * its size hits the keep-everything cap (rate = [[BucketSpace]];
+    * true upsampling is a repeat-factor at the training reader, not a
+    * row-duplicating pass here).
+    *
+    * Every rate is derived with EXACT cross-engine math: α = 1/2 makes
+    * the weight `floor(sqrt(n)·1e6)` — sqrt is IEEE correctly rounded
+    * on both engines (a basic op, unlike pow/ln) — and everything after
+    * is integer arithmetic (`rate = min(1e6, (w·B·1e6) div (S·n))`),
+    * order-independent and mirror-exact. ANSI mode guards the int64
+    * headroom loudly; at 10¹²-doc scale the products exceed int64 and
+    * the rate job (a ~dozens-of-rows relation) switches to DECIMAL(38)
+    * — noted here because the SANDBOX keeps BIGINT so the oracle
+    * matches DuckDB's HUGEINT promotion exactly.
+    *
+    * Scale shape: ONE map-side-combined groupBy(lang) count is the only
+    * wide edge the corpus feeds; weights / totals / rates are computed
+    * over the resulting ≤|langs|-row relation (its OVER () window is
+    * histogram-sized, the t31 argument); the rate table broadcasts back
+    * and the corpus is filtered map-side — zero doc_id-keyed exchanges
+    * (PlanSpec). Unlike t18, rates MOVE when the corpus grows (S and B
+    * are corpus aggregates): production freezes the rate table per
+    * corpus release (`warehouse.mix_rates`, ICEBERG.md §5c) — the
+    * per-doc bucket is what stays stable, so a frozen table keeps the
+    * sample incremental exactly like t18.
+    */
+  def temperatureMix(spark: SparkSession, sfDir: String,
+      fam: HashFamily = HashFamily.Xx64): DataFrame =
+    temperatureMixOn(
+      spark.read.parquet(s"$sfDir/documents.parquet"), fam)
+
+  private[ops] def mixBucketSql(fam: HashFamily): String =
+    s"(${fam.base31Sql(s"concat('$MixSalt', CAST(doc_id AS STRING))")} % $BucketSpace)"
+
+  private[ops] def mixBucketSqlDuck: String =
+    s"((('0x' || substr(md5(concat('$MixSalt', CAST(doc_id AS VARCHAR))), 1, 8))::BIGINT & 2147483647) % $BucketSpace)"
+
+  def temperatureMixOn(docs: DataFrame,
+      fam: HashFamily = HashFamily.Xx64): DataFrame = {
+    val rates = mixRates(docs)
+    docs.selectExpr("doc_id", "lang", s"${mixBucketSql(fam)} AS bucket")
+      .join(broadcast(rates), Seq("lang"))
+      .where(col("bucket") < col("rate"))
+      .select("doc_id", "lang", "bucket", "rate")
+  }
+
+  /** The per-language rate table — the relation a production release
+    * freezes. (lang, n, rate-numerator over [[BucketSpace]]).
+    */
+  def mixRates(docs: DataFrame): DataFrame =
+    docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .selectExpr("lang", "n",
+        s"CAST(floor(sqrt(CAST(n AS DOUBLE)) * ${BucketSpace}.0D) AS BIGINT) AS w")
+      .selectExpr("lang", "n", "w",
+        "sum(w) OVER () AS s", "sum(n) OVER () div 2 AS b")
+      .selectExpr("lang",
+        s"least($BucketSpace, (w * b * $BucketSpace) div (s * n)) AS rate")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t18_stratified_sample" ->
-      ((s, d) => stratifiedSample(s, d, fam = HashFamily.of(s)))
+      ((s, d) => stratifiedSample(s, d, fam = HashFamily.of(s))),
+    "t33_temperature_mix" ->
+      ((s, d) => temperatureMix(s, d, fam = HashFamily.of(s)))
   )
 
   val oracles: Map[String, String] = Map(
@@ -79,6 +148,30 @@ object Sampling {
          |  SELECT doc_id, lang, $bucketSqlDuck AS bucket
          |  FROM documents)
          |SELECT doc_id, lang, bucket FROM b
-         |WHERE bucket < $thresholdSql""".stripMargin
+         |WHERE bucket < $thresholdSql""".stripMargin,
+    // Same salted bucket (different salt), and the rate table re-derived
+    // with the same exact math: floor(sqrt·1e6) weights (sqrt is
+    // correctly rounded on both engines) then pure integer arithmetic —
+    // DuckDB's sum() promotes to HUGEINT, hence the final BIGINT cast.
+    "t33_temperature_mix" ->
+      s"""WITH cnt AS (
+         |  SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         |wgt AS (
+         |  SELECT lang, n,
+         |         CAST(floor(sqrt(CAST(n AS DOUBLE)) * ${BucketSpace}.0) AS BIGINT) AS w
+         |  FROM cnt),
+         |tot AS (SELECT sum(w) AS s, sum(n) // 2 AS b FROM wgt),
+         |rates AS (
+         |  SELECT lang,
+         |         CAST(least($BucketSpace,
+         |                    (w * (SELECT b FROM tot) * $BucketSpace)
+         |                      // ((SELECT s FROM tot) * n)) AS BIGINT) AS rate
+         |  FROM wgt),
+         |bk AS (
+         |  SELECT doc_id, lang, $mixBucketSqlDuck AS bucket
+         |  FROM documents)
+         |SELECT bk.doc_id, bk.lang, bk.bucket, r.rate
+         |FROM bk JOIN rates r USING (lang)
+         |WHERE bk.bucket < r.rate""".stripMargin
   )
 }

@@ -375,6 +375,22 @@ class PlanSpec extends SparkSpec {
       s"histogram has no map-side partial:\n$p")
   }
 
+  test("t33 temperature mix: corpus never shuffles; rate table broadcast") {
+    // the only wide edge the corpus feeds is the map-side-combined
+    // lang-count groupBy; the rate math runs over the <=|langs|-row
+    // relation and the rate table must broadcast back — any
+    // doc_id-keyed exchange means the corpus itself shuffled
+    val p = plan(graft.ops.Sampling.temperatureMix(spark, sf001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in t33:\n${p.take(2000)}")
+    assert(!p.contains("Exchange hashpartitioning(doc_id"),
+      s"corpus shuffled by doc_id:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"rate table not broadcast:\n$p")
+    assert(p.contains("partial_count"),
+      s"lang count has no map-side partial:\n$p")
+  }
+
   test("t20 funnel plan contains ONE dedup job: no second signature/banding stage") {
     // VERDICT r05 task 2: the driver query persists the dedup verdicts
     // and joins the read-back, so the FUNNEL plan itself must contain no
