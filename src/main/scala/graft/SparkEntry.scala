@@ -123,6 +123,7 @@ object SparkEntry {
       try graft.ops.Similarity.dynamicOracles(spark, sfDir) ++
         graft.ops.Dedup.dynamicOracles(spark, sfDir) ++
         graft.ops.Multimodal.dynamicOracles(spark, sfDir) ++
+        graft.ops.TextOps.dynamicOracles(spark, sfDir) ++
         graft.spark.ExtractOracle.dynamicOracles(spark, sfDir)
       catch {
         case scala.util.control.NonFatal(e) =>

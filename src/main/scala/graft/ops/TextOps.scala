@@ -125,13 +125,71 @@ object TextOps {
         "CASE WHEN size(toks) = 0 THEN 0.0D ELSE round(array_max(transform(array_distinct(toks), d -> size(filter(toks, x -> x = d)))) / size(toks), 4) END AS top_token_frac",
         "CASE WHEN size(bigrams) = 0 THEN 0.0D ELSE round(1 - size(array_distinct(bigrams)) / size(bigrams), 4) END AS dup_bigram_frac")
 
+  /** t34 — COMPRESSION-RATIO quality signal: `z_bytes / n_bytes` under
+    * fixed-level DEFLATE ([[graft.spark.CompressExpressions]]) — the
+    * cheap compressibility heuristic of web-curation pipelines
+    * (templated/repeated boilerplate compresses far below prose;
+    * near-or-above-1 ratios flag scrambled text; empty docs surface the
+    * 8-byte stream-header floor honestly rather than a fake 0). Scale
+    * shape: a per-row codegen'd projection over a two-column pruned
+    * scan — no shuffle, no state (PlanSpec); the deflate loop is the
+    * only per-row cost (~tens of MB/s/core at level 6 — the corpus
+    * scan stays CPU-bound, which is what a 1000-executor fleet wants).
+    * The DuckDB side has no zlib, so the oracle is the t12-style
+    * driver-recompute VALUES list (same JVM, byte-exact), bounded by
+    * [[Multimodal.MaxOracleRows]].
+    */
+  def compressRatio(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.spark.CompressExpressions.register(spark)
+    docs(spark, sfDir)
+      .selectExpr("doc_id",
+        "CAST(octet_length(text) AS BIGINT) AS n_bytes",
+        "deflate_len(text) AS z_bytes")
+      .selectExpr("doc_id", "n_bytes", "z_bytes",
+        "round(CAST(z_bytes AS DOUBLE) / greatest(n_bytes, 1), 4) AS compress_ratio")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t2_token_count" -> ((s, d) => tokenCount(s, d)),
     "t3_quality_score" -> ((s, d) => qualityScore(s, d)),
     "t4_lang_id" -> ((s, d) => langId(s, d)),
     "t5_fingerprint" -> ((s, d) => fingerprint(s, d, fam = HashFamily.of(s))),
-    "t15_repetition" -> ((s, d) => repetition(s, d))
+    "t15_repetition" -> ((s, d) => repetition(s, d)),
+    "t34_compress_ratio" -> ((s, d) => compressRatio(s, d))
   )
+
+  /** Dynamic t34 oracle (the t12 pattern): deflate lengths are a pure
+    * function of (text bytes, level, zlib build), and the driver shares
+    * the JVM — so the expected rows are recomputed sequentially with
+    * the SAME static helper the codegen'd expression calls, and the
+    * round() mirrored bit-for-bit via the same HALF_UP BigDecimal
+    * semantics Spark's Round uses (math.rint would be HALF_EVEN — a
+    * latent tie-break mismatch).
+    */
+  def dynamicOracles(spark: SparkSession, sfDir: String): Map[String, String] = {
+    val d = docs(spark, sfDir)
+    if (d.count() > Multimodal.MaxOracleRows) Map.empty
+    else {
+      val rows = d.select("doc_id", "text").orderBy("doc_id").collect().map { r =>
+        val id = r.getLong(0)
+        val text = r.getString(1)
+        val n = text.getBytes("UTF-8").length.toLong
+        val z = graft.spark.CompressExpressions.deflatedLength(
+          org.apache.spark.unsafe.types.UTF8String.fromString(text))
+        // valueOf (the decimal-string repr), NOT new BigDecimal (the
+        // exact binary value) — Spark's Round goes through valueOf
+        val ratio = java.math.BigDecimal.valueOf(z.toDouble / math.max(n, 1L))
+          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+        s"($id, $n, $z, $ratio)"
+      }
+      Map("t34_compress_ratio" ->
+        s"""SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+           |       CAST(z_bytes AS BIGINT) AS z_bytes, CAST(compress_ratio AS DOUBLE) AS compress_ratio
+           |FROM (VALUES ${rows.mkString(", ")})
+           |  AS t(doc_id, n_bytes, z_bytes, compress_ratio)"""
+          .stripMargin.replace("\n", " "))
+    }
+  }
 
   /** DuckDB mirrors (t4's stopword CASE is mirrored exactly; t5's
     * rolling/bag hashes mirror via md5-slice token hashes + list_reduce

@@ -83,6 +83,7 @@ class PlanSpec extends SparkSpec {
       "t4" -> graft.ops.TextOps.langId(spark, sf001),
       "t5" -> graft.ops.TextOps.fingerprint(spark, sf001),
       "t15" -> graft.ops.TextOps.repetition(spark, sf001),
+      "t34" -> graft.ops.TextOps.compressRatio(spark, sf001),
       "t16" -> graft.ops.Similarity.quantizeInt8(spark, sf001),
       "t18" -> graft.ops.Sampling.stratifiedSample(spark, sf001),
       "t21" -> graft.ops.Export.shardAssign(spark, sf001),
@@ -110,6 +111,10 @@ class PlanSpec extends SparkSpec {
     val p21 = plan(graft.ops.Export.shardAssign(spark, sf001))
     assert(p21.contains("ReadSchema: struct<doc_id:bigint>"),
       s"t21 scan not pruned to doc_id:\n$p21")
+    val p34 = plan(graft.ops.TextOps.compressRatio(spark, sf001))
+    assert(p34.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"t34 scan not pruned to (doc_id, text):\n$p34")
+    assert(p34.contains("deflate_len"), s"t34 expression not in plan:\n$p34")
   }
 
   test("f3 entry match resolves with one grouped argmin (map-side partial)") {
