@@ -60,6 +60,18 @@ object HashFamily {
     def bandKeySql(e: String): String = e
   }
 
+  /** Salted per-doc base31 hash — ONE definition for every operator
+    * that keys a deterministic per-document decision on a salted
+    * doc_id hash (t18 sampling, t21 shards, t32 order, t33 mix).
+    * [[saltedDocIdDuck]] is the md5-mirror DuckDB twin; widening the
+    * mirror slice in one place keeps all four oracles in lockstep.
+    */
+  def saltedDocIdSql(fam: HashFamily, salt: String): String =
+    fam.base31Sql(s"concat('$salt', CAST(doc_id AS STRING))")
+
+  def saltedDocIdDuck(salt: String): String =
+    s"(('0x' || substr(md5(concat('$salt', CAST(doc_id AS VARCHAR))), 1, 8))::BIGINT & 2147483647)"
+
   /** Session conf key: "xx64" (default) or "md5" (set by Verify). */
   val ConfKey = "graft.hash.family"
 

@@ -31,7 +31,7 @@ object Export {
 
   /** Shard-assignment SQL fragment (Spark dialect, per family). */
   private[ops] def shardSql(fam: HashFamily, numShards: Int): String =
-    s"(${fam.base31Sql(s"concat('$Salt', CAST(doc_id AS STRING))")} % $numShards)"
+    s"(${HashFamily.saltedDocIdSql(fam, Salt)} % $numShards)"
 
   def shardAssign(spark: SparkSession, sfDir: String,
       numShards: Int = DefaultShards,
@@ -58,8 +58,7 @@ object Export {
   val oracles: Map[String, String] = Map(
     "t21_shard_assign" ->
       s"""SELECT doc_id,
-         |       CAST((('0x' || substr(md5(concat('$Salt', CAST(doc_id AS VARCHAR))), 1, 8))::BIGINT
-         |             & 2147483647) % $DefaultShards AS INT) AS shard
+         |       CAST(${HashFamily.saltedDocIdDuck(Salt)} % $DefaultShards AS INT) AS shard
          |FROM documents""".stripMargin
   )
 }

@@ -56,10 +56,10 @@ object Sampling {
     * reused verbatim by the t20 curation funnel.
     */
   private[ops] def bucketSql(fam: HashFamily): String =
-    s"(${fam.base31Sql(s"concat('$Salt', CAST(doc_id AS STRING))")} % $BucketSpace)"
+    s"(${HashFamily.saltedDocIdSql(fam, Salt)} % $BucketSpace)"
 
   private[ops] def bucketSqlDuck: String =
-    s"((('0x' || substr(md5(concat('$Salt', CAST(doc_id AS VARCHAR))), 1, 8))::BIGINT & 2147483647) % $BucketSpace)"
+    s"(${HashFamily.saltedDocIdDuck(Salt)} % $BucketSpace)"
 
   def stratifiedSampleOn(docs: DataFrame,
       fam: HashFamily = HashFamily.Xx64): DataFrame =
@@ -84,12 +84,13 @@ object Sampling {
     * Every rate is derived with EXACT cross-engine math: α = 1/2 makes
     * the weight `floor(sqrt(n)·1e6)` — sqrt is IEEE correctly rounded
     * on both engines (a basic op, unlike pow/ln) — and everything after
-    * is integer arithmetic (`rate = min(1e6, (w·B·1e6) div (S·n))`),
-    * order-independent and mirror-exact. ANSI mode guards the int64
-    * headroom loudly; at 10¹²-doc scale the products exceed int64 and
-    * the rate job (a ~dozens-of-rows relation) switches to DECIMAL(38)
-    * — noted here because the SANDBOX keeps BIGINT so the oracle
-    * matches DuckDB's HUGEINT promotion exactly.
+    * is integer arithmetic (`rate = min(1e6, (w·B·1e6) div (S·n))`)
+    * carried in DECIMAL(38,0) on the Spark side and HUGEINT (DuckDB's
+    * automatic sum() promotion) on the mirror side: w·B·1e6 ≈
+    * √n·N·5·10¹¹ passes int64 already at N ≈ 10⁵ documents, so the
+    * 128-bit lane is the correctness fix for any production-sized run,
+    * not a scale nicety (the quotient is ≤ 1e6 and lands back in
+    * BIGINT). Order-independent, mirror-exact at any corpus size.
     *
     * Scale shape: ONE map-side-combined groupBy(lang) count is the only
     * wide edge the corpus feeds; weights / totals / rates are computed
@@ -108,10 +109,10 @@ object Sampling {
       spark.read.parquet(s"$sfDir/documents.parquet"), fam)
 
   private[ops] def mixBucketSql(fam: HashFamily): String =
-    s"(${fam.base31Sql(s"concat('$MixSalt', CAST(doc_id AS STRING))")} % $BucketSpace)"
+    s"(${HashFamily.saltedDocIdSql(fam, MixSalt)} % $BucketSpace)"
 
   private[ops] def mixBucketSqlDuck: String =
-    s"((('0x' || substr(md5(concat('$MixSalt', CAST(doc_id AS VARCHAR))), 1, 8))::BIGINT & 2147483647) % $BucketSpace)"
+    s"(${HashFamily.saltedDocIdDuck(MixSalt)} % $BucketSpace)"
 
   def temperatureMixOn(docs: DataFrame,
       fam: HashFamily = HashFamily.Xx64): DataFrame = {
@@ -132,7 +133,10 @@ object Sampling {
       .selectExpr("lang", "n", "w",
         "sum(w) OVER () AS s", "sum(n) OVER () div 2 AS b")
       .selectExpr("lang",
-        s"least($BucketSpace, (w * b * $BucketSpace) div (s * n)) AS rate")
+        s"""least(CAST($BucketSpace AS BIGINT),
+           |  CAST((CAST(w AS DECIMAL(38,0)) * b * $BucketSpace)
+           |       div (CAST(s AS DECIMAL(38,0)) * n) AS BIGINT)) AS rate"""
+          .stripMargin.replace("\n", " "))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t18_stratified_sample" ->

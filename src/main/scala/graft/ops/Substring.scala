@@ -55,12 +55,17 @@ object Substring {
 
   def substringDup(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Dedup.docs(spark, sfDir)
-    val nTok = docs.selectExpr(
-      "doc_id", s"CAST(size(${TextOps.Toks}) AS BIGINT) AS n_tokens")
+    // tokenize ONCE: both the per-doc token count and the window
+    // relation read the staged token arrays (the LangModel.fit
+    // pattern) — tokenization is the CPU-dominant scan work, and two
+    // independent subtrees would run it twice over the corpus
+    val toks = Staging.materialize(
+      docs.selectExpr("doc_id", s"${TextOps.Toks} AS tk"), "t30_toks")
+    val nTok = toks.selectExpr(
+      "doc_id", "CAST(size(tk) AS BIGINT) AS n_tokens")
     // (doc_id, pos, win): every W-token window, pos 1-based. The size
     // guard matters: Spark's sequence(1, stop) DESCENDS for stop < 1.
-    val winRel = docs
-      .selectExpr("doc_id", s"${TextOps.Toks} AS tk")
+    val winRel = toks
       .where(s"size(tk) >= $W")
       .selectExpr(
         "doc_id",

@@ -42,7 +42,7 @@ object TrainOrder {
 
   /** Order-key SQL fragment (Spark dialect, per family). */
   private[ops] def sortKeySql(fam: HashFamily): String =
-    s"CAST(${fam.base31Sql(s"concat('$Salt', CAST(doc_id AS STRING))")} AS BIGINT)"
+    s"CAST(${HashFamily.saltedDocIdSql(fam, Salt)} AS BIGINT)"
 
   def trainingOrder(spark: SparkSession, sfDir: String,
       fam: HashFamily = HashFamily.Xx64): DataFrame =
@@ -69,8 +69,7 @@ object TrainOrder {
     "t32_training_order" ->
       s"""WITH keyed AS (
          |  SELECT doc_id,
-         |         CAST((('0x' || substr(md5(concat('$Salt', CAST(doc_id AS VARCHAR))), 1, 8))::BIGINT
-         |               & 2147483647) AS BIGINT) AS sort_key
+         |         CAST(${HashFamily.saltedDocIdDuck(Salt)} AS BIGINT) AS sort_key
          |  FROM documents)
          |SELECT doc_id, sort_key,
          |       CAST(row_number() OVER (ORDER BY sort_key, doc_id) - 1 AS BIGINT) AS position

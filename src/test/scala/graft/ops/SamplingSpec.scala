@@ -46,10 +46,13 @@ class SamplingSpec extends SparkSpec {
   private def ratesByHand(counts: Map[String, Long]): Map[String, Long] = {
     val w = counts.view.mapValues(n =>
       math.floor(math.sqrt(n.toDouble) * Sampling.BucketSpace).toLong).toMap
-    val s = w.values.sum
-    val b = counts.values.sum / 2
+    val s = w.values.map(BigInt(_)).sum
+    val b = BigInt(counts.values.sum / 2)
     counts.map { case (l, n) =>
-      l -> math.min(Sampling.BucketSpace, (w(l) * b * Sampling.BucketSpace) / (s * n))
+      // BigInt like the operator's DECIMAL(38,0) lane — the products
+      // pass int64 already at ~1e5 docs
+      l -> (BigInt(Sampling.BucketSpace)
+        .min(BigInt(w(l)) * b * Sampling.BucketSpace / (s * n))).toLong
     }
   }
 
@@ -74,6 +77,21 @@ class SamplingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert((201 to 204).forall(i => kept((i.toLong, "C"))) && kept((301L, "D")))
     assert(kept.count(_._2 == "A") < 64, "head language not downsampled")
+  }
+
+  test("t33: rate math survives the >int64 product regime (~1e5 docs)") {
+    // w*b*1e6 ~= sqrt(n)*N*5e11 passes int64 at N ~= 1e5: two 50k-doc
+    // languages put the numerator at 1.1e19. The DECIMAL(38,0) lane must
+    // neither throw (ANSI) nor wrap; by symmetry both rates are exactly
+    // half the bucket space.
+    import org.apache.spark.sql.functions._
+    val big = spark.range(100000).select(
+      col("id").as("doc_id"),
+      when(col("id") < 50000, "A").otherwise("B").as("lang"))
+    val rates = Sampling.mixRates(big).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rates == Map("A" -> 500000L, "B" -> 500000L), s"got $rates")
+    assert(rates == ratesByHand(Map("A" -> 50000L, "B" -> 50000L)))
   }
 
   test("t33: md5 family output bit-exact vs JVM reference (buckets AND rates)") {
