@@ -60,8 +60,109 @@ object Packing {
         s"cum_before div $seqLen AS seq_id",
         s"cum_before % $seqLen AS seq_offset")
 
+  /** t35 — PACKED-SEQUENCE MATERIALIZATION: emit the actual training
+    * sequences t22 only indexes — (seq_id, n_tokens, seq_text) where
+    * seq_text is the L-token slice of the concatenated doc_id-ordered
+    * token stream (the last sequence partial). This is the artifact a
+    * training reader consumes; everything upstream (dedup, funnel,
+    * packing offsets) exists to feed it.
+    *
+    * Distributed shape — the corpus crosses the wire ONCE:
+    *
+    *   1. [[PrefixSum.runningTotal]] range-partitions (doc_id) with the
+    *      token arrays riding along — the one corpus-bytes exchange.
+    *      (Joining offsets back to tokens instead would shuffle the
+    *      corpus AND the offset relation.)
+    *   2. Each partition streams its contiguous token range once,
+    *      assembling PIECES; a piece covering exactly [sL, (s+1)L) is a
+    *      COMPLETE sequence and is emitted as final output with no
+    *      further movement. Only boundary pieces — the first/last
+    *      partial sequence of each partition, ≈ 2·P of them, each
+    *      ≤ L tokens — continue on.
+    *   3. The tiny fragment relation shuffles by seq_id and
+    *      concatenates in piece order (collect_list here is bounded by
+    *      pieces-per-sequence ≤ P and L tokens of text total — NOT a
+    *      corpus-sized list).
+    *
+    * The final sequence of the corpus is routed through the fixup even
+    * when one partition holds all of it (a partition cannot know it is
+    * globally last); single-piece groups pass through unchanged. The
+    * pieces relation is materialized once (staging/localCheckpoint)
+    * because the complete and fragment branches both consume it.
+    */
+  def sequenceTexts(spark: SparkSession, sfDir: String,
+      seqLen: Long = DefaultSeqLen): DataFrame =
+    sequenceTextsOn(
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .selectExpr("doc_id", s"${TextOps.Toks} AS tk")
+        .selectExpr("doc_id", "tk", "CAST(size(tk) AS BIGINT) AS n_tokens"),
+      seqLen)
+
+  /** `df` must carry (doc_id, tk: array<string>, n_tokens). */
+  def sequenceTextsOn(df: DataFrame, seqLen: Long): DataFrame = {
+    val spark = df.sparkSession
+    val withCum = PrefixSum.runningTotal(df,
+      orderCols = Seq("doc_id"), weightCol = "n_tokens",
+      outCol = "cum_before", stageLabel = "t35_seq_input")
+    val schema = withCum.schema
+    val tkI = schema.fieldIndex("tk")
+    val cumI = schema.fieldIndex("cum_before")
+    val piecesRdd = withCum.rdd.mapPartitions { it =>
+      val out = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+      var bufSeq = -1L
+      var bufStart = -1L
+      val buf = new scala.collection.mutable.ArrayBuffer[String]()
+      def flush(): Unit = if (bufSeq >= 0) {
+        val complete =
+          bufStart == bufSeq * seqLen && bufStart + buf.size == (bufSeq + 1) * seqLen
+        out += org.apache.spark.sql.Row(
+          bufSeq, bufStart, buf.size.toLong, buf.mkString(" "), complete)
+        buf.clear()
+      }
+      it.foreach { r =>
+        val toks = r.getSeq[String](tkI)
+        val gstart = r.getLong(cumI)
+        var j = 0
+        val n = toks.size
+        while (j < n) {
+          val gpos = gstart + j
+          val seq = gpos / seqLen
+          if (seq != bufSeq) {
+            flush()
+            bufSeq = seq
+            bufStart = gpos
+          }
+          buf += toks(j)
+          j += 1
+        }
+      }
+      flush()
+      out.iterator
+    }
+    import org.apache.spark.sql.types._
+    val pieces = Staging.materialize(
+      spark.createDataFrame(piecesRdd, StructType(Seq(
+        StructField("seq_id", LongType, nullable = false),
+        StructField("piece_start", LongType, nullable = false),
+        StructField("piece_n", LongType, nullable = false),
+        StructField("piece_text", StringType, nullable = false),
+        StructField("complete", BooleanType, nullable = false)))),
+      "t35_pieces")
+    val done = pieces.where(col("complete"))
+      .selectExpr("seq_id", "piece_n AS n_tokens", "piece_text AS seq_text")
+    val fixed = pieces.where(!col("complete"))
+      .groupBy("seq_id")
+      .agg(
+        sum(col("piece_n")).as("n_tokens"),
+        concat_ws(" ",
+          expr("transform(sort_array(collect_list(struct(piece_start, piece_text))), p -> p.piece_text)"))
+          .as("seq_text"))
+    done.unionByName(fixed)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "t22_sequence_pack" -> ((s, d) => sequencePack(s, d))
+    "t22_sequence_pack" -> ((s, d) => sequencePack(s, d)),
+    "t35_sequence_texts" -> ((s, d) => sequenceTexts(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -80,6 +181,24 @@ object Packing {
          |SELECT doc_id, n_tokens, cum_before,
          |       cum_before // $DefaultSeqLen AS seq_id,
          |       cum_before % $DefaultSeqLen AS seq_offset
-         |FROM c""".stripMargin
+         |FROM c""".stripMargin,
+    // the naive single-process mirror: explode every token with its
+    // global position, group by position div L, concatenate in order —
+    // same sequences as the piece-assembly plan, by construction
+    "t35_sequence_texts" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${TextOps.dToks} AS tk FROM documents),
+         |c AS (
+         |  SELECT doc_id, tk,
+         |         CAST(coalesce(sum(len(tk)) OVER (ORDER BY doc_id
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |  FROM toks),
+         |tok AS (
+         |  SELECT cum_before + i - 1 AS gpos, tk[i] AS tok
+         |  FROM c, UNNEST(generate_series(1, len(tk))) AS g(i))
+         |SELECT CAST(gpos // $DefaultSeqLen AS BIGINT) AS seq_id,
+         |       CAST(count(*) AS BIGINT) AS n_tokens,
+         |       string_agg(tok, ' ' ORDER BY gpos) AS seq_text
+         |FROM tok GROUP BY 1""".stripMargin
   )
 }

@@ -22,6 +22,62 @@ class PackingSpec extends SparkSpec {
     assert(rows.map(_._4).distinct.length > 10)
   }
 
+  // ---- t35 sequence materialization ----
+
+  private val s35 = spark
+  import s35.implicits._
+
+  private def toksDf(docs: Seq[(Long, String)]) =
+    docs.toDF("doc_id", "text")
+      .selectExpr("doc_id", s"${TextOps.Toks} AS tk")
+      .selectExpr("doc_id", "tk", "CAST(size(tk) AS BIGINT) AS n_tokens")
+
+  private def seqRows(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, String)] =
+    df.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+
+  test("t35: hand-checked sequences across doc boundaries, empty doc, partial tail") {
+    // L = 10; docs of 5 / 35 / 0 / 7 tokens -> 47 tokens -> seqs 0..4
+    val d1 = (1 to 5).map(i => s"a$i").mkString(" ")
+    val d2 = (1 to 35).map(i => s"b$i").mkString(" ")
+    val d4 = (1 to 7).map(i => s"d$i").mkString(" ")
+    val got = seqRows(Packing.sequenceTextsOn(
+      toksDf(Seq((1L, d1), (2L, d2), (3L, ""), (4L, d4))), seqLen = 10L))
+    assert(got.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    assert(got(0L) == ((10L, ((1 to 5).map(i => s"a$i") ++ (1 to 5).map(i => s"b$i")).mkString(" "))))
+    assert(got(1L) == ((10L, (6 to 15).map(i => s"b$i").mkString(" "))))
+    assert(got(2L) == ((10L, (16 to 25).map(i => s"b$i").mkString(" "))))
+    assert(got(3L) == ((10L, (26 to 35).map(i => s"b$i").mkString(" "))))
+    assert(got(4L) == ((7L, (1 to 7).map(i => s"d$i").mkString(" "))))
+  }
+
+  test("t35: sequences spanning MANY partitions reassemble (all-fixup regime)") {
+    // 64 one-token docs over >=8 range partitions with L = 10: every
+    // partition holds fewer tokens than one sequence, so every sequence
+    // is stitched from multiple boundary pieces
+    val docs = (1 to 64).map(i => (i.toLong, f"w$i%02d"))
+    val got = seqRows(Packing.sequenceTextsOn(toksDf(docs), seqLen = 10L))
+    assert(got.keySet == (0L to 6L).toSet)
+    for (s <- 0L to 6L) {
+      val expect = docs.map(_._2).slice((s * 10).toInt, math.min(64, (s + 1) * 10).toInt)
+      assert(got(s) == ((expect.size.toLong, expect.mkString(" "))), s"seq $s")
+    }
+  }
+
+  test("t35: global identity on real data — concatenated sequences ARE the token stream") {
+    val got = Packing.sequenceTexts(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1)
+    val last = got.map(_._1).max
+    got.foreach { case (s, n, t) =>
+      assert((n == 1024L) == (s != last), s"seq $s has $n tokens")
+      assert(t.split(" ").length.toLong == n, s"seq $s token count vs text")
+    }
+    val stream = got.map(_._3).mkString(" ")
+    val docsStream = spark.read.parquet(s"$sf001/documents.parquet")
+      .selectExpr("doc_id", s"array_join(${TextOps.Toks}, ' ') AS j")
+      .orderBy("doc_id").collect().map(_.getString(1)).filter(_.nonEmpty).mkString(" ")
+    assert(stream == docsStream, "sequence concatenation lost/reordered tokens")
+  }
+
   test("two-phase prefix sum is deterministic across runs") {
     def run() = Packing.sequencePack(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet

@@ -396,6 +396,20 @@ class PlanSpec extends SparkSpec {
       s"lang count has no map-side partial:\n$p")
   }
 
+  test("t35 sequence texts: no Window, one seq_id exchange for the tiny fixup only") {
+    // the corpus crosses the wire once inside the prefix-sum range
+    // shuffle (behind the materialization); the visible plan must be
+    // the union of pass-through complete pieces and ONE seq_id-keyed
+    // exchange over the boundary fragments — a corpus-wide seq_id
+    // groupBy or a global Window would be the scale regression
+    val p = plan(graft.ops.Packing.sequenceTexts(spark, sf001))
+    assert(!p.contains("Window"), s"window in t35 plan:\n${p.take(2000)}")
+    val seqEx = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(seq_id") && !l.contains("Reused"))
+    assert(seqEx == 1, s"expected 1 seq_id exchange (fragments only), got $seqEx:\n$p")
+    assert(p.contains("Union"), s"complete/fixup union missing:\n$p")
+  }
+
   test("t20 funnel plan contains ONE dedup job: no second signature/banding stage") {
     // VERDICT r05 task 2: the driver query persists the dedup verdicts
     // and joins the read-back, so the FUNNEL plan itself must contain no
