@@ -15,6 +15,8 @@ import org.apache.spark.sql.functions._
   *                 t23 redact → t24 line-strip → clean_text
   *                      │
   *            t22 pack → packed          t21 → shards/ (hive-partitioned)
+  *            t35 materialize → sequences (the training artifact)
+  *            t32 order → train_order (reproducible global shuffle)
   *
   * Stage outputs are parquet under one output root with a `manifest.json`
   * of per-stage row counts, so a killed run shows exactly where it
@@ -66,11 +68,18 @@ object CurationPipeline {
       .write.mode("overwrite").parquet(s"$outDir/clean_text")
     val clean = spark.read.parquet(s"$outDir/clean_text")
 
-    // 4. training-sequence packing over the CLEAN text's token counts
-    Packing.sequencePackOn(
-        clean.selectExpr("doc_id", s"CAST(size(${TextOps.Toks}) AS BIGINT) AS n_tokens"),
-        seqLen)
+    // 4. training-sequence packing over the CLEAN text's token counts,
+    //    then the actual sequences (t35) and the reproducible training
+    //    order (t32) — the three artifacts a training run mounts
+    val cleanToks = clean
+      .selectExpr("doc_id", s"${TextOps.Toks} AS tk")
+      .selectExpr("doc_id", "tk", "CAST(size(tk) AS BIGINT) AS n_tokens")
+    Packing.sequencePackOn(cleanToks.select("doc_id", "n_tokens"), seqLen)
       .write.mode("overwrite").parquet(s"$outDir/packed")
+    Packing.sequenceTextsOn(cleanToks, seqLen)
+      .write.mode("overwrite").parquet(s"$outDir/sequences")
+    TrainOrder.trainingOrderOn(clean.select("doc_id"), fam)
+      .write.mode("overwrite").parquet(s"$outDir/train_order")
 
     // 5. deterministic sharded export of the final rows
     Export.shardedExport(clean, s"$outDir/shards", numShards, fam)
@@ -82,6 +91,8 @@ object CurationPipeline {
       "kept" -> kept.count(),
       "clean_text" -> clean.count(),
       "packed" -> spark.read.parquet(s"$outDir/packed").count(),
+      "sequences" -> spark.read.parquet(s"$outDir/sequences").count(),
+      "train_order" -> spark.read.parquet(s"$outDir/train_order").count(),
       "shards" -> spark.read.parquet(s"$outDir/shards").count())
     val json = manifest.map { case (k, v) => s""""$k":$v""" }
       .mkString("{", ",", "}")

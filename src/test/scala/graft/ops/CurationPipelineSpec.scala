@@ -26,6 +26,29 @@ class CurationPipelineSpec extends SparkSpec {
       "redact + line-strip are per-doc: no rows lost or invented")
     assert(m("shards") == m("clean_text"), "export writes every clean row")
     assert(m("packed") == m("clean_text"), "packing emits one row per doc")
+    assert(m("train_order") == m("clean_text"), "every clean doc gets an order position")
+    assert(m("sequences") > 0 && m("sequences") < m("clean_text"),
+      s"sequence count ${m("sequences")} implausible for 1024-token packing")
+  }
+
+  test("training artifacts are mutually consistent") {
+    // token conservation: the packed index, the materialized sequences,
+    // and the clean text all describe the same token stream
+    val packed = spark.read.parquet(s"$out1/packed")
+    val seqs = spark.read.parquet(s"$out1/sequences")
+    val totalPacked = packed.agg(sum(col("n_tokens"))).head().getLong(0)
+    val totalSeq = seqs.agg(sum(col("n_tokens"))).head().getLong(0)
+    assert(totalPacked == totalSeq, "packing index and sequences disagree on token count")
+    val last = seqs.agg(max(col("seq_id"))).head().getLong(0)
+    assert(seqs.filter(col("seq_id") =!= last && col("n_tokens") =!= Packing.DefaultSeqLen)
+      .count() == 0, "a non-final sequence is not full")
+    // the order table is an exact permutation of the clean docs
+    val order = spark.read.parquet(s"$out1/train_order")
+    val n = order.count()
+    val r = order.agg(min(col("position")), max(col("position")),
+      countDistinct(col("position"))).head()
+    assert(r.getLong(0) == 0L && r.getLong(1) == n - 1 && r.getLong(2) == n,
+      s"train_order is not a 0..${n - 1} permutation: $r")
   }
 
   test("stage tables honor their contracts") {
