@@ -149,13 +149,46 @@ object TextOps {
         "round(CAST(z_bytes AS DOUBLE) / greatest(n_bytes, 1), 4) AS compress_ratio")
   }
 
+  /** t36 — CORPUS STATS ROLLUP: doc/token/char counts and mean length at
+    * every (lang × source) granularity in ONE pass — `CUBE(lang,
+    * source)`, i.e. grouping sets ((lang, source), (lang), (source),
+    * ()). This is the monitoring/reporting rollup every curation run
+    * ships to its dashboard, and the input the t33 rate job or a mixing
+    * review reads. `g_lang`/`g_source` are the GROUPING() markers that
+    * distinguish a rollup NULL from a (hypothetical) NULL value.
+    *
+    * Scale shape: Catalyst's Expand replicates each scan row ×4 — a
+    * map-local projection, no extra scan — and the partial hash
+    * aggregate collapses each task's output to at most 4 ×
+    * |lang×source| rows before the ONE exchange, so the shuffle is
+    * bounded by group cardinality (≈ dozens), not corpus size, exactly
+    * like any single-level groupBy. Means are derived from the exact
+    * integer sums post-aggregation (one exactly-rounded division — no
+    * avg() accumulation-order concerns on either engine).
+    */
+  def corpusStats(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .selectExpr("lang", "source",
+        s"CAST(size($Toks) AS BIGINT) AS nt", "n_chars")
+      .cube("lang", "source")
+      .agg(
+        grouping(col("lang")).cast("int").as("g_lang"),
+        grouping(col("source")).cast("int").as("g_source"),
+        count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"))
+      .selectExpr("lang", "source", "g_lang", "g_source",
+        "n_docs", "n_tokens", "n_chars",
+        "CAST(n_tokens AS DOUBLE) / n_docs AS avg_tokens")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t2_token_count" -> ((s, d) => tokenCount(s, d)),
     "t3_quality_score" -> ((s, d) => qualityScore(s, d)),
     "t4_lang_id" -> ((s, d) => langId(s, d)),
     "t5_fingerprint" -> ((s, d) => fingerprint(s, d, fam = HashFamily.of(s))),
     "t15_repetition" -> ((s, d) => repetition(s, d)),
-    "t34_compress_ratio" -> ((s, d) => compressRatio(s, d))
+    "t34_compress_ratio" -> ((s, d) => compressRatio(s, d)),
+    "t36_corpus_stats" -> ((s, d) => corpusStats(s, d))
   )
 
   /** Dynamic t34 oracle (the t12 pattern): deflate lengths are a pure
@@ -253,7 +286,20 @@ object TextOps {
            |       CASE WHEN len(toks) = 0 THEN CAST(0.0 AS DOUBLE) ELSE round(list_max(list_transform(list_distinct(toks),
            |             d -> len(list_filter(toks, x -> x = d)))) / len(toks), 4) END AS top_token_frac,
            |       CASE WHEN len(bigrams) = 0 THEN CAST(0.0 AS DOUBLE) ELSE round(1 - len(list_distinct(bigrams)) / len(bigrams), 4) END AS dup_bigram_frac
-           |FROM b""".stripMargin
+           |FROM b""".stripMargin,
+      // same CUBE, same GROUPING() markers, mean re-derived from the
+      // exact integer sums (DuckDB's sum() promotes to HUGEINT, hence
+      // the BIGINT casts)
+      "t36_corpus_stats" ->
+        s"""SELECT lang, source,
+           |       CAST(GROUPING(lang) AS INT) AS g_lang,
+           |       CAST(GROUPING(source) AS INT) AS g_source,
+           |       CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum(len($dToks)) AS BIGINT) AS n_tokens,
+           |       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           |       CAST(sum(len($dToks)) AS DOUBLE) / count(*) AS avg_tokens
+           |FROM documents
+           |GROUP BY CUBE (lang, source)""".stripMargin
     )
   }
 }

@@ -410,6 +410,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Union"), s"complete/fixup union missing:\n$p")
   }
 
+  test("t36 corpus stats: one Expand, one exchange, map-side partial") {
+    // CUBE must plan as Expand (map-local x4 replication) + partial
+    // aggregate + ONE group-cardinality-bounded exchange — not four
+    // separate scans or a corpus-sized shuffle
+    val p = plan(graft.ops.TextOps.corpusStats(spark, sf001))
+    assert(p.contains("Expand"), s"no Expand in cube plan:\n$p")
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$p")
+    assert(p.contains("partial_count"), s"no map-side partial:\n$p")
+    val scans = p.linesIterator.count(_.contains("FileScan"))
+    assert(scans == 1, s"cube re-scanned the corpus ($scans scans):\n$p")
+  }
+
   test("t20 funnel plan contains ONE dedup job: no second signature/banding stage") {
     // VERDICT r05 task 2: the driver query persists the dedup verdicts
     // and joins the read-back, so the FUNNEL plan itself must contain no
