@@ -57,9 +57,15 @@ object CurationPipeline {
       .select("doc_id", "text")
     val kept = docs.join(
       status.filter(col("status") === "kept").select("doc_id"), Seq("doc_id"))
-    val redacted = Redact.redactPii(kept)
-      .select(col("doc_id"), col("redacted").as("text"),
-        col("n_email"), col("n_ip"), col("n_phone"))
+    // materialized once: the line-strip AND the counter join both consume
+    // it, and ReuseExchange does not deduplicate sibling subtrees — an
+    // unstaged `redacted` would re-run the kept join and all six PII
+    // regex passes a second time inside the clean_text write
+    val redacted = Staging.materialize(
+      Redact.redactPii(kept)
+        .select(col("doc_id"), col("redacted").as("text"),
+          col("n_email"), col("n_ip"), col("n_phone")),
+      "pipeline_redacted")
     LineDedup.lineDedupOn(LineDedup.chunked(redacted), maxDf)
       .join(redacted.select("doc_id", "n_email", "n_ip", "n_phone"), Seq("doc_id"))
       .select(col("doc_id"), col("kept_text").as("text"),
@@ -84,11 +90,14 @@ object CurationPipeline {
     // 5. deterministic sharded export of the final rows
     Export.shardedExport(clean, s"$outDir/shards", numShards, fam)
 
+    // every manifest count audits a PERSISTED table (or a pure filter of
+    // one) — "kept" counts the persisted funnel verdicts rather than
+    // re-executing the documents join it was derived from
     val manifest = Seq(
       "documents" -> docs.count(),
       "dedup_verdicts" -> verdicts.count(),
       "funnel_status" -> status.count(),
-      "kept" -> kept.count(),
+      "kept" -> status.filter(col("status") === "kept").count(),
       "clean_text" -> clean.count(),
       "packed" -> spark.read.parquet(s"$outDir/packed").count(),
       "sequences" -> spark.read.parquet(s"$outDir/sequences").count(),

@@ -108,36 +108,57 @@ object Packing {
     val tkI = schema.fieldIndex("tk")
     val cumI = schema.fieldIndex("cum_before")
     val piecesRdd = withCum.rdd.mapPartitions { it =>
-      val out = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+      // lazy streaming assembly: pieces are EMITTED as they complete —
+      // resident state is one in-progress piece (≤ seqLen tokens) plus
+      // the pieces finished inside the current doc, never the
+      // partition's whole text (the "streams its rows once" contract)
       var bufSeq = -1L
       var bufStart = -1L
       val buf = new scala.collection.mutable.ArrayBuffer[String]()
-      def flush(): Unit = if (bufSeq >= 0) {
-        val complete =
-          bufStart == bufSeq * seqLen && bufStart + buf.size == (bufSeq + 1) * seqLen
-        out += org.apache.spark.sql.Row(
-          bufSeq, bufStart, buf.size.toLong, buf.mkString(" "), complete)
-        buf.clear()
-      }
-      it.foreach { r =>
+      def flush(): Option[org.apache.spark.sql.Row] =
+        if (buf.isEmpty) None
+        else {
+          val complete =
+            bufStart == bufSeq * seqLen && bufStart + buf.size == (bufSeq + 1) * seqLen
+          val row = org.apache.spark.sql.Row(
+            bufSeq, bufStart, buf.size.toLong, buf.mkString(" "), complete)
+          buf.clear()
+          Some(row)
+        }
+      val main = it.flatMap { r =>
         val toks = r.getSeq[String](tkI)
         val gstart = r.getLong(cumI)
+        val done = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
         var j = 0
         val n = toks.size
         while (j < n) {
           val gpos = gstart + j
           val seq = gpos / seqLen
           if (seq != bufSeq) {
-            flush()
+            flush().foreach(done += _)
             bufSeq = seq
             bufStart = gpos
           }
           buf += toks(j)
           j += 1
         }
+        done
       }
-      flush()
-      out.iterator
+      // Iterator.++ is lazy: the tail's flush runs only after `main`
+      // is exhausted, so it sees the final buffer state
+      main ++ new Iterator[org.apache.spark.sql.Row] {
+        private var emitted = false
+        private var pending: Option[org.apache.spark.sql.Row] = None
+        def hasNext: Boolean = {
+          if (!emitted) { pending = flush(); emitted = true }
+          pending.isDefined
+        }
+        def next(): org.apache.spark.sql.Row = {
+          val r = pending.getOrElse(throw new NoSuchElementException)
+          pending = None
+          r
+        }
+      }
     }
     import org.apache.spark.sql.types._
     val pieces = Staging.materialize(

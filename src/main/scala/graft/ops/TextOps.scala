@@ -50,7 +50,10 @@ object TextOps {
       "doc_id",
       "CAST(length(text) AS BIGINT) AS n_chars_m",
       s"CAST(size($Toks) AS BIGINT) AS n_words",
-      s"round(length(replace(text, ' ', '')) / greatest(size($Toks), 1), 4) AS avg_word_len",
+      // strip the SAME whitespace class the tokenizer splits on — a
+      // literal ' ' replace would count tabs/newlines as word characters
+      // and inflate the signal on any multi-line document
+      s"round(length(regexp_replace(text, ${Tokenize.SparkWs}, '')) / greatest(size($Toks), 1), 4) AS avg_word_len",
       "CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '')) AS BIGINT) AS n_punct",
       s"round(${hits("en")} / greatest(size($Toks), 1), 4) AS stopword_ratio")
 
@@ -252,7 +255,7 @@ object TextOps {
            |FROM documents""".stripMargin,
       "t3_quality_score" ->
         s"""SELECT doc_id, length(text) AS n_chars_m, CAST(len($dToks) AS BIGINT) AS n_words,
-           |       round(length(replace(text, ' ', '')) / greatest(len($dToks), 1), 4) AS avg_word_len,
+           |       round(length(regexp_replace(text, ${Tokenize.DuckWs}, '', 'g')) / greatest(len($dToks), 1), 4) AS avg_word_len,
            |       length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
            |       round(${dHits("en")} / greatest(len($dToks), 1), 4) AS stopword_ratio
            |FROM documents""".stripMargin,
