@@ -76,13 +76,16 @@ object CurationPipeline {
 
     // 4. training-sequence packing over the CLEAN text's token counts,
     //    then the actual sequences (t35) and the reproducible training
-    //    order (t32) — the three artifacts a training run mounts
-    val cleanToks = clean
-      .selectExpr("doc_id", s"${TextOps.Toks} AS tk")
-      .selectExpr("doc_id", "tk", "CAST(size(tk) AS BIGINT) AS n_tokens")
-    Packing.sequencePackOn(cleanToks.select("doc_id", "n_tokens"), seqLen)
+    //    order (t32) — the three artifacts a training run mounts. The
+    //    prefix sum runs ONCE: the packed index and the sequences both
+    //    derive from the same running-total relation (review finding,
+    //    r06 — two independent calls re-scanned and re-ranged clean_text)
+    val withCum = PrefixSum.runningTotal(Packing.tokensOf(clean),
+      orderCols = Seq("doc_id"), weightCol = "n_tokens",
+      outCol = "cum_before", stageLabel = "pipeline_pack")
+    Packing.packFromCum(withCum.select("doc_id", "n_tokens", "cum_before"), seqLen)
       .write.mode("overwrite").parquet(s"$outDir/packed")
-    Packing.sequenceTextsOn(cleanToks, seqLen)
+    Packing.sequenceTextsFromCum(withCum, seqLen)
       .write.mode("overwrite").parquet(s"$outDir/sequences")
     TrainOrder.trainingOrderOn(clean.select("doc_id"), fam)
       .write.mode("overwrite").parquet(s"$outDir/train_order")
@@ -105,9 +108,13 @@ object CurationPipeline {
       "shards" -> spark.read.parquet(s"$outDir/shards").count())
     val json = manifest.map { case (k, v) => s""""$k":$v""" }
       .mkString("{", ",", "}")
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(outDir, "manifest.json"),
-      json.getBytes("UTF-8"))
+    // through the Hadoop FS layer, like every other stage — a
+    // driver-local java.nio write would fail (after all the expensive
+    // work) for any hdfs://, s3a://, or even file:/ outDir
+    val manifestPath = new org.apache.hadoop.fs.Path(outDir, "manifest.json")
+    val fs = manifestPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(manifestPath, true)
+    try os.write(json.getBytes("UTF-8")) finally os.close()
     manifest
   }
 }

@@ -36,11 +36,21 @@ object Packing {
 
   val DefaultSeqLen = 1024L
 
+  /** (doc_id, tk, n_tokens) token preparation shared by the standalone
+    * t22/t35 queries and the curation pipeline — ONE definition so they
+    * cannot silently build from different token streams. A null `text`
+    * is zero tokens (coalesce to the empty array), not an NPE deep in a
+    * prefix-sum executor task.
+    */
+  def tokensOf(docs: DataFrame): DataFrame =
+    docs.selectExpr("doc_id", s"coalesce(${TextOps.Toks}, array()) AS tk")
+      .selectExpr("doc_id", "tk", "CAST(size(tk) AS BIGINT) AS n_tokens")
+
   def sequencePack(spark: SparkSession, sfDir: String,
       seqLen: Long = DefaultSeqLen): DataFrame =
     sequencePackOn(
-      spark.read.parquet(s"$sfDir/documents.parquet")
-        .selectExpr("doc_id", s"CAST(size(${TextOps.Toks}) AS BIGINT) AS n_tokens"),
+      tokensOf(spark.read.parquet(s"$sfDir/documents.parquet"))
+        .select("doc_id", "n_tokens"),
       seqLen)
 
   /** `df` must carry (doc_id, n_tokens). Partition count scales with the
@@ -52,13 +62,21 @@ object Packing {
     * seq_id / seq_offset division.
     */
   def sequencePackOn(df: DataFrame, seqLen: Long): DataFrame =
-    PrefixSum.runningTotal(
-      df.select(col("doc_id"), col("n_tokens")),
-      orderCols = Seq("doc_id"), weightCol = "n_tokens",
-      outCol = "cum_before", stageLabel = "t22_pack_input")
-      .selectExpr("doc_id", "n_tokens", "cum_before",
-        s"cum_before div $seqLen AS seq_id",
-        s"cum_before % $seqLen AS seq_offset")
+    packFromCum(
+      PrefixSum.runningTotal(
+        df.select(col("doc_id"), col("n_tokens")),
+        orderCols = Seq("doc_id"), weightCol = "n_tokens",
+        outCol = "cum_before", stageLabel = "t22_pack_input"),
+      seqLen)
+
+  /** Derive the packed index from an ALREADY-computed running total —
+    * lets a caller that also materializes sequences (the pipeline) pay
+    * for the prefix sum once instead of twice.
+    */
+  def packFromCum(withCum: DataFrame, seqLen: Long): DataFrame =
+    withCum.selectExpr("doc_id", "n_tokens", "cum_before",
+      s"cum_before div $seqLen AS seq_id",
+      s"cum_before % $seqLen AS seq_offset")
 
   /** t35 — PACKED-SEQUENCE MATERIALIZATION: emit the actual training
     * sequences t22 only indexes — (seq_id, n_tokens, seq_text) where
@@ -93,17 +111,22 @@ object Packing {
   def sequenceTexts(spark: SparkSession, sfDir: String,
       seqLen: Long = DefaultSeqLen): DataFrame =
     sequenceTextsOn(
-      spark.read.parquet(s"$sfDir/documents.parquet")
-        .selectExpr("doc_id", s"${TextOps.Toks} AS tk")
-        .selectExpr("doc_id", "tk", "CAST(size(tk) AS BIGINT) AS n_tokens"),
-      seqLen)
+      tokensOf(spark.read.parquet(s"$sfDir/documents.parquet")), seqLen)
 
   /** `df` must carry (doc_id, tk: array<string>, n_tokens). */
-  def sequenceTextsOn(df: DataFrame, seqLen: Long): DataFrame = {
-    val spark = df.sparkSession
-    val withCum = PrefixSum.runningTotal(df,
-      orderCols = Seq("doc_id"), weightCol = "n_tokens",
-      outCol = "cum_before", stageLabel = "t35_seq_input")
+  def sequenceTextsOn(df: DataFrame, seqLen: Long): DataFrame =
+    sequenceTextsFromCum(
+      PrefixSum.runningTotal(df,
+        orderCols = Seq("doc_id"), weightCol = "n_tokens",
+        outCol = "cum_before", stageLabel = "t35_seq_input"),
+      seqLen)
+
+  /** Assemble sequences from an ALREADY-computed running total (must
+    * carry tk + cum_before and be range-partitioned/sorted by doc_id —
+    * i.e. a [[PrefixSum.runningTotal]] output).
+    */
+  def sequenceTextsFromCum(withCum: DataFrame, seqLen: Long): DataFrame = {
+    val spark = withCum.sparkSession
     val schema = withCum.schema
     val tkI = schema.fieldIndex("tk")
     val cumI = schema.fieldIndex("cum_before")

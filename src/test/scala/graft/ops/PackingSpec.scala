@@ -35,13 +35,19 @@ class PackingSpec extends SparkSpec {
   private def seqRows(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, String)] =
     df.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
 
-  test("t35: hand-checked sequences across doc boundaries, empty doc, partial tail") {
-    // L = 10; docs of 5 / 35 / 0 / 7 tokens -> 47 tokens -> seqs 0..4
+  test("t35: hand-checked sequences across doc boundaries, empty + NULL docs, partial tail") {
+    // L = 10; docs of 5 / 35 / 0 / null / 7 tokens -> 47 tokens -> seqs
+    // 0..4 (the null-text doc contributes zero tokens, not an executor
+    // NPE — review finding, r06)
     val d1 = (1 to 5).map(i => s"a$i").mkString(" ")
     val d2 = (1 to 35).map(i => s"b$i").mkString(" ")
     val d4 = (1 to 7).map(i => s"d$i").mkString(" ")
+    val planted = Seq((1L, d1), (2L, d2), (3L, ""), (4L, d4))
+      .toDF("doc_id", "text")
+      .unionByName(Seq(Tuple1(5L)).toDF("doc_id")
+        .selectExpr("doc_id", "CAST(NULL AS STRING) AS text"))
     val got = seqRows(Packing.sequenceTextsOn(
-      toksDf(Seq((1L, d1), (2L, d2), (3L, ""), (4L, d4))), seqLen = 10L))
+      Packing.tokensOf(planted), seqLen = 10L))
     assert(got.keySet == Set(0L, 1L, 2L, 3L, 4L))
     assert(got(0L) == ((10L, ((1 to 5).map(i => s"a$i") ++ (1 to 5).map(i => s"b$i")).mkString(" "))))
     assert(got(1L) == ((10L, (6 to 15).map(i => s"b$i").mkString(" "))))
