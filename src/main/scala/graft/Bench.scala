@@ -82,7 +82,7 @@ object Bench {
     "t13_dedup_pipeline", "t17_incremental_dedup", "t19_decontamination",
     "t20_curation_funnel", "t24_line_dedup", "t26_dup_components",
     "t27_lm_score", "t28_cluster_keepers", "t29_incremental_components",
-    "t30_substring_dup", "t31_ppl_buckets")
+    "t30_substring_dup", "t31_ppl_buckets", "t37_substring_strip")
 
   // Section reserves (seconds) — how much budget later sections need.
   // Sized from round-2 measurements: queries ≈ 26 × (warm+measured) ≈ 180 s

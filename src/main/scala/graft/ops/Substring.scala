@@ -53,16 +53,17 @@ object Substring {
     */
   val W = 10
 
-  def substringDup(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The shared machinery of t30 (report) and t37 (strip): the staged
+    * token arrays and the flagged occurrences (doc_id, pos) of every
+    * window repeated corpus-wide. Tokenization runs ONCE (the staged
+    * relation feeds both the window stream and the consumer's
+    * token-level work — tokenization is the CPU-dominant scan work).
+    */
+  private[ops] def tokensAndFlagged(spark: SparkSession,
+      sfDir: String, label: String): (DataFrame, DataFrame) = {
     val docs = Dedup.docs(spark, sfDir)
-    // tokenize ONCE: both the per-doc token count and the window
-    // relation read the staged token arrays (the LangModel.fit
-    // pattern) — tokenization is the CPU-dominant scan work, and two
-    // independent subtrees would run it twice over the corpus
     val toks = Staging.materialize(
-      docs.selectExpr("doc_id", s"${TextOps.Toks} AS tk"), "t30_toks")
-    val nTok = toks.selectExpr(
-      "doc_id", "CAST(size(tk) AS BIGINT) AS n_tokens")
+      docs.selectExpr("doc_id", s"${TextOps.Toks} AS tk"), label)
     // (doc_id, pos, win): every W-token window, pos 1-based. The size
     // guard matters: Spark's sequence(1, stop) DESCENDS for stop < 1.
     val winRel = toks
@@ -75,6 +76,14 @@ object Substring {
       .withColumn("df",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("win")))
       .where(col("df") > 1)
+      .select("doc_id", "pos")
+    (toks, flagged)
+  }
+
+  def substringDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val (toks, flagged) = tokensAndFlagged(spark, sfDir, "t30_toks")
+    val nTok = toks.selectExpr(
+      "doc_id", "CAST(size(tk) AS BIGINT) AS n_tokens")
     val cov = flagged
       .groupBy("doc_id")
       .agg(
@@ -97,8 +106,58 @@ object Substring {
         "round(coalesce(dup_span_tokens, CAST(0 AS BIGINT)) / greatest(n_tokens, 1), 4) AS dup_span_frac")
   }
 
+  /** t37 — EXACT-SUBSTRING STRIP: remove every token inside a flagged
+    * (corpus-repeated) W-token window — the removal step of Lee et al.'s
+    * ExactSubstr dedup, applied to BOTH copies (the simple reproduction
+    * choice: duplicated spans in web corpora are overwhelmingly
+    * boilerplate/syndication, and keeping zero copies needs no global
+    * keeper election; the per-cluster keep-one variant is t28's job).
+    * Output: (doc_id, n_tokens, kept_tokens, text_stripped).
+    *
+    * Shape: t30's one window-keyed exchange produces the flagged
+    * occurrences; their positions regroup per doc (positions only — a
+    * thin shuffle) and merge into disjoint [s, e) intervals with a
+    * linear HOF fold over the SORTED list (the same telescoping order
+    * t30's coverage uses); ONE doc_id equi-join brings the intervals to
+    * the staged token arrays (the one corpus-bytes exchange, t35's
+    * class), and the strip is a per-row filter against the merged
+    * intervals — O(tokens × intervals), with intervals already merged
+    * so the bound is the doc's disjoint-span count, not its flagged
+    * window count. kept_tokens = n − Σ(e−s) by the same telescoping
+    * identity, so SubstringSpec pins kept_tokens == n_tokens −
+    * t30.dup_span_tokens row-for-row.
+    */
+  def substringStrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val (toks, flagged) = tokensAndFlagged(spark, sfDir, "t37_toks")
+    val wL = s"CAST($W AS BIGINT)"
+    val iv = flagged
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+      .selectExpr("doc_id",
+        // sorted positions -> merged disjoint intervals [s, e)
+        s"""aggregate(ps, CAST(array() AS ARRAY<STRUCT<s: BIGINT, e: BIGINT>>),
+           |  (acc, p) -> CASE WHEN size(acc) > 0 AND p <= element_at(acc, -1).e
+           |    THEN concat(slice(acc, 1, size(acc) - 1),
+           |                array(named_struct('s', element_at(acc, -1).s,
+           |                                   'e', greatest(element_at(acc, -1).e, p + $wL))))
+           |    ELSE concat(acc, array(named_struct('s', p, 'e', p + $wL))) END) AS iv"""
+          .stripMargin.replace("\n", " "))
+    toks.join(iv, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "tk",
+        "coalesce(iv, CAST(array() AS ARRAY<STRUCT<s: BIGINT, e: BIGINT>>)) AS iv")
+      .selectExpr(
+        "doc_id",
+        "CAST(size(tk) AS BIGINT) AS n_tokens",
+        "CAST(size(tk) AS BIGINT) - aggregate(iv, CAST(0 AS BIGINT), (a, v) -> a + (v.e - v.s)) AS kept_tokens",
+        """array_join(transform(
+          |  filter(transform(tk, (t, i0) -> named_struct('t', t, 'i', CAST(i0 + 1 AS BIGINT))),
+          |         x -> NOT exists(iv, v -> v.s <= x.i AND x.i < v.e)),
+          |  x -> x.t), ' ') AS text_stripped""".stripMargin.replace("\n", " "))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "t30_substring_dup" -> ((s, d) => substringDup(s, d))
+    "t30_substring_dup" -> ((s, d) => substringDup(s, d)),
+    "t37_substring_strip" -> ((s, d) => substringStrip(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -128,6 +187,38 @@ object Substring {
          |       coalesce(c.dup_windows, CAST(0 AS BIGINT)) AS dup_windows,
          |       coalesce(c.dup_span_tokens, CAST(0 AS BIGINT)) AS dup_span_tokens,
          |       round(coalesce(c.dup_span_tokens, CAST(0 AS BIGINT)) / greatest(len(t.tk), 1), 4) AS dup_span_frac
-         |FROM toks t LEFT JOIN cov c USING (doc_id)""".stripMargin
+         |FROM toks t LEFT JOIN cov c USING (doc_id)""".stripMargin,
+    // Same windows and flagging; the strip re-derived at TOKEN
+    // granularity — every token position range-joined to the flagged
+    // windows and anti-filtered — instead of the interval-merge fold:
+    // same kept set, different mechanism.
+    "t37_substring_strip" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${TextOps.dToks} AS tk FROM documents),
+         |w AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |         array_to_string(tk[i:i+${W - 1}], ' ') AS win
+         |  FROM toks, UNNEST(generate_series(1, len(tk) - ${W - 1})) AS g(i)),
+         |df AS (SELECT win FROM w GROUP BY win HAVING count(*) > 1),
+         |fl AS (SELECT w.doc_id, w.pos FROM w JOIN df USING (win)),
+         |tp AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS i, tk[i] AS tok
+         |  FROM toks, UNNEST(generate_series(1, len(tk))) AS g(i)),
+         |cov AS (
+         |  SELECT DISTINCT t.doc_id, t.i
+         |  FROM tp t JOIN fl f
+         |    ON f.doc_id = t.doc_id AND t.i >= f.pos AND t.i < f.pos + $W),
+         |keptTok AS (
+         |  SELECT t.doc_id, t.i, t.tok
+         |  FROM tp t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.i = t.i
+         |  WHERE c.i IS NULL),
+         |ks AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+         |         string_agg(tok, ' ' ORDER BY i) AS text_stripped
+         |  FROM keptTok GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
+         |       coalesce(k.kept_tokens, CAST(0 AS BIGINT)) AS kept_tokens,
+         |       coalesce(k.text_stripped, '') AS text_stripped
+         |FROM toks t LEFT JOIN ks k USING (doc_id)""".stripMargin
   )
 }

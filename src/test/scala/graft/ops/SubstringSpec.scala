@@ -69,6 +69,41 @@ class SubstringSpec extends SparkSpec {
     }
   }
 
+  // ---- t37 strip ----
+
+  private def stripRows(df: org.apache.spark.sql.DataFrame)
+      : Map[Long, (Long, Long, String)] =
+    df.collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+
+  test("t37: hand-computed stripped texts (overlap merge, full coverage, untouched docs)") {
+    val dir = java.nio.file.Files.createTempDirectory("t37").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = stripRows(Substring.substringStrip(spark, dir))
+    assert(got(1L) == ((13L, 3L, "x1 x2 x3")))
+    assert(got(2L) == ((13L, 3L, "y1 y2 y3")))
+    assert(got(3L) == ((21L, 1L, "m")))             // both base2 copies stripped
+    assert(got(4L) == ((9L, 9L, "s1 s2 s3 s4 s5 s6 s7 s8 s9"))) // sub-W: untouched
+    assert(got(5L)._2 == 15L)                       // unique doc untouched
+    assert(got(6L) == ((13L, 2L, "e1 e2")))         // overlapping windows merge to [1,12)
+    assert(got(7L) == ((12L, 1L, "f1")))
+    assert(got(8L) == ((12L, 0L, "")))              // exact pair: fully stripped
+    assert(got(9L) == ((12L, 0L, "")))
+  }
+
+  test("t37: kept_tokens == n_tokens - t30.dup_span_tokens row-for-row on real data") {
+    val t30 = rows(Substring.substringDup(spark, sf001))
+    val t37 = stripRows(Substring.substringStrip(spark, sf001))
+    assert(t37.size == t30.size)
+    t37.foreach { case (id, (n, kept, text)) =>
+      val (n30, _, span, _) = t30(id)
+      assert(n == n30 && kept == n - span,
+        s"doc $id: kept $kept != $n - $span (telescoping identity broken)")
+      val textToks = if (text.isEmpty) 0L else text.split(" ").length.toLong
+      assert(textToks == kept, s"doc $id: stripped text has $textToks tokens, claimed $kept")
+    }
+  }
+
   test("deterministic across runs") {
     val a = rows(Substring.substringDup(spark, sf001))
     assert(a == rows(Substring.substringDup(spark, sf001)))

@@ -363,6 +363,19 @@ class PlanSpec extends SparkSpec {
     assert(winJoins == 0, s"join on the window key present:\n$p")
   }
 
+  test("t37 substring strip: one window exchange, no all-pairs join") {
+    // same dominant-shuffle contract as t30: the window stream crosses
+    // the wire once; the strip adds only the thin flagged-position
+    // regroup and the one doc_id token join
+    val p = plan(graft.ops.Substring.substringStrip(spark, sf001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in t37:\n${p.take(2000)}")
+    val winExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(win") && !l.contains("Reused"))
+    assert(winExchanges == 1,
+      s"expected exactly 1 window-keyed exchange, got $winExchanges:\n$p")
+  }
+
   test("t31 ppl buckets: corpus never shuffles; thresholds broadcast back") {
     // the only wide edge the corpus feeds is the (lang, q) histogram
     // groupBy (map-side combined to a bounded relation); the cum /
