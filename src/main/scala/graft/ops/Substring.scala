@@ -58,12 +58,19 @@ object Substring {
     * window repeated corpus-wide. Tokenization runs ONCE (the staged
     * relation feeds both the window stream and the consumer's
     * token-level work — tokenization is the CPU-dominant scan work).
+    * The window fragment parallels `Dedup`'s k=3 shingle builder but is
+    * kept separate deliberately: each must stay byte-aligned with its
+    * OWN DuckDB mirror dialect (0- vs 1-based sequence, concat_ws vs
+    * array_join), and sharing one fragment would couple the two
+    * oracles' exact text.
     */
   private[ops] def tokensAndFlagged(spark: SparkSession,
       sfDir: String, label: String): (DataFrame, DataFrame) = {
     val docs = Dedup.docs(spark, sfDir)
+    // coalesce: a NULL-text doc is zero tokens on BOTH engines (the
+    // oracles coalesce their token arrays identically), not a NULL row
     val toks = Staging.materialize(
-      docs.selectExpr("doc_id", s"${TextOps.Toks} AS tk"), label)
+      docs.selectExpr("doc_id", s"coalesce(${TextOps.Toks}, array()) AS tk"), label)
     // (doc_id, pos, win): every W-token window, pos 1-based. The size
     // guard matters: Spark's sequence(1, stop) DESCENDS for stop < 1.
     val winRel = toks
@@ -103,7 +110,12 @@ object Substring {
         "doc_id", "n_tokens",
         "coalesce(dup_windows, CAST(0 AS BIGINT)) AS dup_windows",
         "coalesce(dup_span_tokens, CAST(0 AS BIGINT)) AS dup_span_tokens",
-        "round(coalesce(dup_span_tokens, CAST(0 AS BIGINT)) / greatest(n_tokens, 1), 4) AS dup_span_frac")
+        // round-half-up to 4 dp in PURE INTEGER math: round(double, 4)
+        // is not cross-engine stable on half-way shortest-decimal
+        // fractions (DuckDB 1.0 round(57/800., 4) = 0.0712 vs Spark's
+        // BigDecimal HALF_UP 0.0713); (20000·span + n) div (2n) / 1e4
+        // is exact and identical on both engines
+        "CAST((coalesce(dup_span_tokens, CAST(0 AS BIGINT)) * 20000 + greatest(n_tokens, 1)) div (2 * greatest(n_tokens, 1)) AS DOUBLE) / 10000 AS dup_span_frac")
   }
 
   /** t37 — EXACT-SUBSTRING STRIP: remove every token inside a flagged
@@ -134,13 +146,16 @@ object Substring {
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("pos"))).as("ps"))
       .selectExpr("doc_id",
-        // sorted positions -> merged disjoint intervals [s, e)
-        s"""aggregate(ps, CAST(array() AS ARRAY<STRUCT<s: BIGINT, e: BIGINT>>),
-           |  (acc, p) -> CASE WHEN size(acc) > 0 AND p <= element_at(acc, -1).e
-           |    THEN concat(slice(acc, 1, size(acc) - 1),
-           |                array(named_struct('s', element_at(acc, -1).s,
-           |                                   'e', greatest(element_at(acc, -1).e, p + $wL))))
-           |    ELSE concat(acc, array(named_struct('s', p, 'e', p + $wL))) END) AS iv"""
+        // sorted positions -> merged disjoint intervals [s, e), derived
+        // LINEARLY from the gaps: because every raw interval is exactly
+        // W long, a merged run breaks precisely where consecutive
+        // positions differ by more than W — run starts pair 1:1 with
+        // run ends, no accumulator-copying fold (which would be
+        // O(intervals²) per doc on scattered boilerplate)
+        s"""zip_with(
+           |  filter(sequence(1, size(ps)), i -> i = 1 OR element_at(ps, i) - element_at(ps, i - 1) > $wL),
+           |  filter(sequence(1, size(ps)), i -> i = size(ps) OR element_at(ps, i + 1) - element_at(ps, i) > $wL),
+           |  (a, b) -> named_struct('s', element_at(ps, a), 'e', element_at(ps, b) + $wL)) AS iv"""
           .stripMargin.replace("\n", " "))
     toks.join(iv, Seq("doc_id"), "left")
       .selectExpr("doc_id", "tk",
@@ -168,7 +183,7 @@ object Substring {
     // different mechanism.
     "t30_substring_dup" ->
       s"""WITH toks AS (
-         |  SELECT doc_id, ${TextOps.dToks} AS tk FROM documents),
+         |  SELECT doc_id, coalesce(${TextOps.dToks}, []) AS tk FROM documents),
          |w AS (
          |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
          |         array_to_string(tk[i:i+${W - 1}], ' ') AS win
@@ -186,7 +201,8 @@ object Substring {
          |SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
          |       coalesce(c.dup_windows, CAST(0 AS BIGINT)) AS dup_windows,
          |       coalesce(c.dup_span_tokens, CAST(0 AS BIGINT)) AS dup_span_tokens,
-         |       round(coalesce(c.dup_span_tokens, CAST(0 AS BIGINT)) / greatest(len(t.tk), 1), 4) AS dup_span_frac
+         |       CAST((coalesce(c.dup_span_tokens, CAST(0 AS BIGINT)) * 20000 + greatest(len(t.tk), 1))
+         |              // (2 * greatest(len(t.tk), 1)) AS DOUBLE) / 10000 AS dup_span_frac
          |FROM toks t LEFT JOIN cov c USING (doc_id)""".stripMargin,
     // Same windows and flagging; the strip re-derived at TOKEN
     // granularity — every token position range-joined to the flagged
@@ -194,7 +210,7 @@ object Substring {
     // same kept set, different mechanism.
     "t37_substring_strip" ->
       s"""WITH toks AS (
-         |  SELECT doc_id, ${TextOps.dToks} AS tk FROM documents),
+         |  SELECT doc_id, coalesce(${TextOps.dToks}, []) AS tk FROM documents),
          |w AS (
          |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
          |         array_to_string(tk[i:i+${W - 1}], ' ') AS win
