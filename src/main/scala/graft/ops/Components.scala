@@ -23,19 +23,31 @@ import org.apache.spark.sql.functions._
   * 10⁶-long mirror chain needs 10⁶ shuffles) and with driver-side
   * union-find (the edge list at 100 TB does not fit one machine).
   *
-  * Scale shape per iteration: groupBy(node) over the CURRENT edge set —
-  * the edge relation (2×8 B/row) is orders of magnitude smaller than
-  * the corpus, and it SHRINKS toward one row per non-root node as stars
-  * form. Edges are staged between iterations ([[Staging.materialize]]:
-  * plan truncation — iterative joins otherwise grow the logical plan
-  * exponentially — and durable parquet staging under
-  * `graft.staging.dir`). Convergence is detected by a (count,
-  * hash-XOR) fingerprint — one 1-row aggregate per iteration, the
-  * driver never sees the edges themselves. A skewed super-component
-  * (one boilerplate family of 10⁷ docs) concentrates into its root's
-  * groupBy bucket only in the FINAL star, where the emitted edge count
-  * equals the component size — linear, not quadratic; AQE splits the
-  * oversized reduce partition.
+  * Scale shape per iteration: each star is a min-per-node aggregate
+  * (CONSTANT aggregation state) joined back to the oriented edge
+  * relation to emit the rewired edges — the edge relation (2×8 B/row)
+  * is orders of magnitude smaller than the corpus, and it SHRINKS
+  * toward one row per non-root node as stars form. The join, not a
+  * per-node `collect_set`, is the load-bearing choice (r07): the
+  * final star concentrates a whole component's neighbor set onto its
+  * root key, and a collect_set buffer holds that set in ONE
+  * aggregation buffer — a 10⁹-doc boilerplate family is an ~8 GB
+  * single-key buffer and an OOM that neither AQE (which splits skewed
+  * partitions, never one groupBy key) nor spill (aggregation state is
+  * per-key, not per-partition) can save. min + join streams the same
+  * rewiring with bounded memory at ANY component size: the min
+  * aggregate state is 8 bytes per key, and the sort-merge join spills
+  * gracefully. Cost: the edge relation crosses the wire for the
+  * aggregate and the join — but both exchanges hash the same key, so
+  * ReuseExchange ships it once. Edges are staged between iterations
+  * ([[Staging.materialize]]: plan truncation — iterative joins
+  * otherwise grow the logical plan exponentially — and durable parquet
+  * staging under `graft.staging.dir`). Convergence is detected by a
+  * (count, hash-XOR) fingerprint — one 1-row aggregate per iteration,
+  * the driver never sees the edges themselves. A skewed
+  * super-component still lands its full edge list in the root's reduce
+  * partition in the FINAL star — linear rows, not quadratic, and
+  * streamed rather than buffered.
   *
   * The t26 driver query builds edges from the t6 verified pair relation
   * (est_jaccard ≥ 0.5 under the active [[HashFamily]]) plus the exact
@@ -174,30 +186,44 @@ object Components {
   }
 
   /** Large-star: for every node u, connect each STRICTLY LARGER neighbor
-    * to min(Γ(u) ∪ {u}). One groupBy-node shuffle; emitted edges are
-    * canonical (lo < hi) because v > u ≥ m.
+    * to m = min(Γ(u) ∪ {u}). BOUNDED-MEMORY form (r07): m comes from a
+    * plain `min` aggregate over the symmetrized edge relation (constant
+    * per-key state — never a neighbor-set buffer) and the rewired edges
+    * are emitted by joining m back onto the same relation. Both the
+    * aggregate and the join hash on u, so ReuseExchange ships the edge
+    * relation across the wire once. Emitted edges are canonical
+    * (lo < hi) because v > u ≥ m.
     */
-  private[graft] def largeStar(edges: DataFrame): DataFrame =
-    edges.selectExpr("lo AS u", "hi AS v")
+  private[graft] def largeStar(edges: DataFrame): DataFrame = {
+    val adj = edges.selectExpr("lo AS u", "hi AS v")
       .unionAll(edges.selectExpr("hi AS u", "lo AS v"))
-      .groupBy("u").agg(collect_set(col("v")).as("nbrs"))
-      .selectExpr("u", "least(array_min(nbrs), u) AS m", "nbrs")
-      .selectExpr("m AS lo", "explode(filter(nbrs, v -> v > u)) AS hi")
+    val mins = adj.groupBy("u")
+      .agg(min(col("v")).as("mn"))
+      .selectExpr("u", "least(mn, u) AS m")
+    adj.join(mins, Seq("u"))
+      .where(col("v") > col("u"))
+      .selectExpr("m AS lo", "v AS hi")
       .where(col("lo") =!= col("hi"))
       .dropDuplicates("lo", "hi")
+  }
 
   /** Small-star: orient each edge toward its larger endpoint u, then
-    * connect u and all its smaller neighbors to their minimum. Input and
-    * output are canonical (lo < hi): every emitted v ∈ N(u) ∪ {u} with
-    * v ≠ m satisfies v > m = min(N(u)).
+    * connect u and all its smaller neighbors to their minimum
+    * m = min(N(u)). Same bounded-memory min + join-back shape as
+    * [[largeStar]]; the (m, u) self edge comes straight off the
+    * aggregate (m < u always — N(u) holds only smaller neighbors).
+    * Input and output are canonical (lo < hi): every emitted
+    * v ∈ N(u) ∪ {u} with v ≠ m satisfies v > m.
     */
-  private[graft] def smallStar(edges: DataFrame): DataFrame =
-    edges.selectExpr("hi AS u", "lo AS v")
-      .groupBy("u").agg(collect_set(col("v")).as("nbrs"))
-      .selectExpr("u", "array_min(nbrs) AS m", "nbrs")
-      .selectExpr("m AS lo",
-        "explode(filter(array_union(nbrs, array(u)), v -> v != m)) AS hi")
+  private[graft] def smallStar(edges: DataFrame): DataFrame = {
+    val adj = edges.selectExpr("hi AS u", "lo AS v")
+    val mins = adj.groupBy("u").agg(min(col("v")).as("m"))
+    adj.join(mins, Seq("u"))
+      .where(col("v") =!= col("m"))
+      .selectExpr("m AS lo", "v AS hi")
+      .unionByName(mins.selectExpr("m AS lo", "u AS hi"))
       .dropDuplicates("lo", "hi")
+  }
 
   /** Cheap order-independent edge-set fingerprint: (row count, XOR of
     * per-edge hashes) — one scalar row per iteration, never the edges.

@@ -50,6 +50,32 @@ class ComponentsSpec extends SparkSpec {
     assert(cc(Seq.empty) == Map.empty)
   }
 
+  test("mega-star: a 10^5-node hub component clusters with bounded per-key state") {
+    // VERDICT r06 task 1 'done' case: one component vastly larger than
+    // the rest, with shuffle partitions small so the hub key's whole
+    // neighborhood lands in one task. The r06 collect_set formulation
+    // buffered all 10^5 neighbors in ONE aggregation buffer here; the
+    // min + join-back stars stream it. (10^5 longs is survivable either
+    // way — this pins the SHAPE; PlanSpec pins the absence of the
+    // set-buffering aggregate that made 10^9 an OOM.)
+    val n = 100000L
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val star = spark.range(1L, n)
+        .selectExpr("CAST(0 AS BIGINT) AS src", "id AS dst")
+      val rest = Seq((n + 5L, n + 6L)).toDF("src", "dst")
+      val labels = Components.connectedComponents(star.unionByName(rest))
+      val r = labels.selectExpr(
+        "count(*) AS total",
+        "sum(CASE WHEN component = 0 THEN 1 ELSE 0 END) AS in_hub",
+        s"sum(CASE WHEN component = ${n + 5L} THEN 1 ELSE 0 END) AS in_pair").head()
+      assert(r.getLong(0) == n + 2, s"expected ${n + 2} labeled nodes, got ${r.getLong(0)}")
+      assert(r.getLong(1) == n, s"expected $n hub members, got ${r.getLong(1)}")
+      assert(r.getLong(2) == 2L, s"expected 2 pair members, got ${r.getLong(2)}")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("t26 on sf0.001 matches a driver-side union-find over the same edges") {
     val fam = HashFamily.Xx64
     val edges = Components.dupEdges(spark, sf001, fam)
