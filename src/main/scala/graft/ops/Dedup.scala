@@ -496,10 +496,17 @@ object Dedup {
     * the downstream executed plan).
     */
   def cappedShingles(sh: DataFrame, maxDf: Int): DataFrame = {
-    val s0 = sh.dropDuplicates("doc_id", "shingle")
-    val hot = s0.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    // NB no dropDuplicates here (r07): `sh` is always [[shingles]] output,
+    // which is distinct (doc_id, shingle) BY CONSTRUCTION — the per-doc
+    // array is array_distinct'ed before the explode, and doc_id keys the
+    // rest. The old dropDuplicates("doc_id", "shingle") was a full
+    // exchange+aggregate of the widest relation in the job that removed
+    // zero rows (guide §2.4: "a distinct on data that is already
+    // unique") — and jaccardForPairs recomputes this relation per
+    // reference, so t13/t20 paid it three times.
+    val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select("shingle")
-    s0.join(broadcast(hot), Seq("shingle"), "left_anti")
+    sh.join(broadcast(hot), Seq("shingle"), "left_anti")
   }
 
   def ngramJaccardOnShingles(sh: DataFrame, th: Double,
@@ -509,7 +516,20 @@ object Dedup {
     // them (see minhashLshOnShingles): materialize the df-capped shingle
     // relation once. At real scale this is the persisted shingle table
     // every production dedup pipeline stages anyway.
-    val s = Staging.materialize(cappedShingles(sh, maxDf), "t8_capped_shingles")
+    //
+    // The dropDuplicates BEFORE the cap removes zero rows ([[shingles]]
+    // is distinct by construction) — it is kept as the SHARING EXCHANGE
+    // (r07): the hot-count aggregate and the anti-join probe both
+    // consume the exploded relation, and only an identical common
+    // subtree lets ReuseExchange ship it once. Without it the corpus is
+    // tokenized+shingled TWICE (measured +30% on t8); a
+    // repartition(shingle) was tried instead and planned WORSE (the
+    // optimizer hoists the repartition above the anti join, the two
+    // explode subtrees prune different columns and stop being reusable —
+    // see plans/r07/t8 notes).
+    val s = Staging.materialize(
+      cappedShingles(sh.dropDuplicates("doc_id", "shingle"), maxDf),
+      "t8_capped_shingles")
     val sizes = s.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     // Co-shingle counts via ONE shuffle: group by shingle, expand i<j
     // doc pairs within each group (same bucket-expansion shape as

@@ -71,9 +71,21 @@ object LangModel {
     * (total + top-K consume it). Collects are bounded by the caps.
     */
   def fit(docs: DataFrame, vocabK: Int = VocabK,
+      bigramK: Int = BigramK): LmModel =
+    fitOnToks(Staging.materialize(tokensDf(docs), "lm_toks"), vocabK, bigramK)
+
+  /** [[fit]] over an ALREADY-MATERIALIZED token relation (a `toks`
+    * array column) — factored out (r07) so the driver queries tokenize
+    * the corpus ONCE and share the staged relation between the fit
+    * aggregations and the scoring projection: tokenization is the
+    * CPU-dominant scan work, and the previous shape re-tokenized the
+    * whole corpus for scoring after the fit had already staged the
+    * token arrays (guide §2.4 — two operations keyed the same way share
+    * one pass).
+    */
+  private[graft] def fitOnToks(toks: DataFrame, vocabK: Int = VocabK,
       bigramK: Int = BigramK): LmModel = {
     import org.apache.spark.unsafe.types.UTF8String
-    val toks = Staging.materialize(tokensDf(docs), "lm_toks")
     val uni0 = Staging.materialize(
       toks.selectExpr("explode(toks) AS tok")
         .groupBy("tok").agg(count(lit(1)).as("c")),
@@ -134,7 +146,14 @@ object LangModel {
     new LmModel(uniMap, bigMap, meta.getDouble(0), meta.getDouble(1))
   }
 
-  /** t27: (doc_id, n_tokens, oov, hits2, cross_entropy) for every doc. */
+  /** t27: (doc_id, n_tokens, oov, hits2, cross_entropy) for every doc.
+    * The fit stages the token arrays for its two aggregations; scoring
+    * deliberately re-tokenizes in a FUSED projection over the columnar
+    * scan rather than reading the staged arrays back — measured r07:
+    * deserializing checkpointed array<string> rows costs more than the
+    * split+filter over the scan (1.0 s → 1.8 s at sf0.1 when scoring
+    * from the staged relation).
+    */
   def lmScore(spark: SparkSession, sfDir: String,
       vocabK: Int = VocabK, bigramK: Int = BigramK): DataFrame = {
     val docs = Dedup.docs(spark, sfDir)
@@ -142,11 +161,16 @@ object LangModel {
   }
 
   /** Score `docs` under an already-fitted model — the production shape
-    * (fit once on a reference slice, score many corpora / batches).
+    * (fit once on a reference slice, score many corpora / batches):
+    * a single tokenise-and-score projection, no shuffle (PlanSpec).
     */
-  def lmScoreOn(docs: DataFrame, model: LmModel): DataFrame = {
-    LmExpressions.register(docs.sparkSession, model)
-    tokensDf(docs)
+  def lmScoreOn(docs: DataFrame, model: LmModel): DataFrame =
+    scoreToks(tokensDf(docs), model)
+
+  /** The scoring projection over a (doc_id, toks) relation. */
+  private def scoreToks(toks: DataFrame, model: LmModel): DataFrame = {
+    LmExpressions.register(toks.sparkSession, model)
+    toks
       .selectExpr(
         "doc_id",
         "CAST(size(toks) AS BIGINT) AS n_tokens",
@@ -196,7 +220,8 @@ object LangModel {
     * would put half of 100 TB (English) through ONE reduce partition.
     * The tiny threshold table broadcasts back for the per-row CASE.
     * Production scores from the persisted t27 table (ICEBERG.md §5c);
-    * the sandbox recomputes the cheap projection per consumer.
+    * the sandbox stages the scored relation once and both consumers
+    * (histogram + probe) read it back (r07).
     */
   def pplBuckets(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Dedup.docs(spark, sfDir)
@@ -206,16 +231,26 @@ object LangModel {
   def pplBucketsOn(docs: DataFrame, model: LmModel): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     LmExpressions.register(docs.sparkSession, model)
-    val scored = docs
-      .selectExpr("doc_id", "lang", s"${TextOps.Toks} AS toks")
-      .selectExpr("doc_id", "lang",
-        "CAST(size(toks) AS BIGINT) AS n_tokens", "lm_score(toks) AS sc")
-      .selectExpr("doc_id", "lang",
-        """CASE WHEN n_tokens < 2 THEN 0.0D
-          |ELSE -sc.lp_sum / CAST(n_tokens - 1 AS DOUBLE) END AS cross_entropy"""
-          .stripMargin.replace("\n", " "))
-      .selectExpr("doc_id", "lang", "cross_entropy",
-        s"CAST(floor(cross_entropy * ${QuantSteps}.0D) AS BIGINT) AS q")
+    // The scored relation is consumed TWICE (the histogram aggregate and
+    // the final per-row CASE probe), and Spark does not deduplicate the
+    // two subtrees — unstaged, the per-token lm_score projection ran
+    // over the whole corpus twice (r07; guide §2.4). The staged relation
+    // is 4 NARROW columns per doc (~40 B), negligible next to the token
+    // stream, so this materialization wins — unlike staging the token
+    // arrays themselves, which measured SLOWER than re-tokenizing (the
+    // t27 scaladoc's deserialization trap).
+    val scored = Staging.materialize(
+      docs
+        .selectExpr("doc_id", "lang", s"${TextOps.Toks} AS toks")
+        .selectExpr("doc_id", "lang",
+          "CAST(size(toks) AS BIGINT) AS n_tokens", "lm_score(toks) AS sc")
+        .selectExpr("doc_id", "lang",
+          """CASE WHEN n_tokens < 2 THEN 0.0D
+            |ELSE -sc.lp_sum / CAST(n_tokens - 1 AS DOUBLE) END AS cross_entropy"""
+            .stripMargin.replace("\n", " "))
+        .selectExpr("doc_id", "lang", "cross_entropy",
+          s"CAST(floor(cross_entropy * ${QuantSteps}.0D) AS BIGINT) AS q"),
+      "t31_scored")
     val hist = scored.groupBy("lang", "q").agg(count(lit(1)).as("c"))
     val cum = hist
       .withColumn("cum",
