@@ -203,8 +203,13 @@ object Components {
     adj.join(mins, Seq("u"))
       .where(col("v") > col("u"))
       .selectExpr("m AS lo", "v AS hi")
-      .where(col("lo") =!= col("hi"))
-      .dropDuplicates("lo", "hi")
+    // NB no dropDuplicates here (r07): largeStar output feeds ONLY
+    // smallStar within a round, whose min aggregate is duplicate-blind
+    // and whose own dropDuplicates canonicalizes the round's output —
+    // the intermediate dedup was a full extra exchange per round. An
+    // un-deduped hop stays linear: (m, v) can repeat at most once per
+    // original adjacency row. Output is canonical (lo < hi) because
+    // v > u >= m, and never a self-loop.
   }
 
   /** Small-star: orient each edge toward its larger endpoint u, then
@@ -218,10 +223,20 @@ object Components {
   private[graft] def smallStar(edges: DataFrame): DataFrame = {
     val adj = edges.selectExpr("hi AS u", "lo AS v")
     val mins = adj.groupBy("u").agg(min(col("v")).as("m"))
+    // The (m, u) self edge is emitted from the JOIN OUTPUT (explode of
+    // [v, u], deduped below) rather than a second branch off `mins` —
+    // a union with `mins.selectExpr("m", "u")` plans a SECOND
+    // Exchange+HashAggregate over the adjacency relation (the physical
+    // ReuseExchange rule does not deduplicate it from the join's build
+    // side), i.e. the edge relation aggregated twice per round (r07).
+    // Every u has >= 1 adjacency row, so the explode emits each (m, u)
+    // at least once; v = m rows and duplicate (m, u) copies fall to the
+    // round's dropDuplicates. u is never m (N(u) holds only smaller
+    // neighbors), so the filter keeps exactly N(u) ∪ {u} minus m.
     adj.join(mins, Seq("u"))
-      .where(col("v") =!= col("m"))
-      .selectExpr("m AS lo", "v AS hi")
-      .unionByName(mins.selectExpr("m AS lo", "u AS hi"))
+      .selectExpr("m", "explode(array(v, u)) AS hi")
+      .where(col("hi") =!= col("m"))
+      .selectExpr("m AS lo", "hi")
       .dropDuplicates("lo", "hi")
   }
 
