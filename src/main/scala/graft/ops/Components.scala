@@ -283,10 +283,16 @@ object Components {
     val docsDf = Dedup.docs(spark, sfDir)
     // Consumed twice (keeper argmax + the corpus verdict join).
     val comps = Staging.materialize(dupComponents(spark, sfDir, fam), "t28_comps")
-    val q = docsDf.selectExpr(
+    // toks/lt factored into their own projection (r07, see
+    // TextOps.LowerToks): inlined, the ratio re-ran the tokenizing
+    // split 3× per row
+    val q = docsDf
+      .selectExpr("doc_id",
+        s"${TextOps.Toks} AS toks", s"${TextOps.LowerToks} AS lt")
+      .selectExpr(
       "doc_id",
-      s"round(${TextOps.hits("en")} / greatest(size(${TextOps.Toks}), 1), 4) AS q_ratio",
-      s"CAST(size(${TextOps.Toks}) AS BIGINT) AS n_words")
+      s"round(${TextOps.hitsOn("en")} / greatest(size(toks), 1), 4) AS q_ratio",
+      "CAST(size(toks) AS BIGINT) AS n_words")
     val keepers = comps.join(q, Seq("doc_id"))
       .groupBy("component")
       .agg(max_by(

@@ -61,12 +61,18 @@ object Curation {
   def perRowSignals(spark: SparkSession, sfDir: String,
       fam: HashFamily = HashFamily.Xx64): DataFrame = {
     val h = TextOps.Stop.keys.map(l => l -> s"h_$l").toMap
-    val scored = Dedup.docs(spark, sfDir).selectExpr(
+    // toks/lt factored into their own projection (r07): inlined, the 5
+    // per-language hit counts plus the quality ratios re-ran the
+    // tokenizing split 7× per row (see TextOps.LowerToks)
+    val scored = Dedup.docs(spark, sfDir)
+      .selectExpr("doc_id", "lang",
+        s"${TextOps.Toks} AS toks", s"${TextOps.LowerToks} AS lt")
+      .selectExpr(
       Seq("doc_id", "lang",
-        s"CAST(size(${TextOps.Toks}) AS BIGINT) AS n_words",
-        s"round(${TextOps.hits(KeepLang)} / greatest(size(${TextOps.Toks}), 1), 4) AS stopword_ratio",
+        "CAST(size(toks) AS BIGINT) AS n_words",
+        s"round(${TextOps.hitsOn(KeepLang)} / greatest(size(toks), 1), 4) AS stopword_ratio",
         s"${Sampling.bucketSql(fam)} AS bucket") ++
-        TextOps.Stop.keys.map(l => s"${TextOps.hits(l)} AS ${h(l)}"): _*)
+        TextOps.Stop.keys.map(l => s"${TextOps.hitsOn(l)} AS ${h(l)}"): _*)
     // the same fixed-priority argmax as TextOps.langId
     val langs = Seq("en", "de", "fr", "es", "zh")
     val pred = langs

@@ -42,10 +42,28 @@ object TextOps {
   private[ops] def hits(l: String) =
     s"size(filter(filter(split(lower(text), ${Tokenize.SparkWs}), x -> x != ''), x -> array_contains(${arr(Stop(l))}, x)))"
 
+  /** The lower-cased token array `hits` filters — factored so multi-lang
+    * scorers (t4, t20) materialize it ONCE per row: inlined, each
+    * language's hit count re-splits lower(text) (5 regex splits per row;
+    * HOF subtrees are CodegenFallback, so codegen subexpression
+    * elimination never rescues it). CollapseProject keeps a non-cheap
+    * alias referenced multiple times in its own projection, so the
+    * factored column is evaluated once (r07).
+    */
+  private[ops] val LowerToks =
+    s"filter(split(lower(text), ${Tokenize.SparkWs}), x -> x != '')"
+
+  /** Per-language hit count over a prebuilt [[LowerToks]] column `lt`. */
+  private[ops] def hitsOn(l: String) =
+    s"size(filter(lt, x -> array_contains(${arr(Stop(l))}, x)))"
+
   /** Quality scoring: length, word stats, punctuation & stopword ratios —
     * the standard pretraining-filter features (C4/Gopher-style).
     */
   def qualityScore(spark: SparkSession, sfDir: String): DataFrame =
+    // NB deliberately NOT token-factored like t4/t20 (r07): with only
+    // one hits() reference, the factored projection's wider intermediate
+    // rows (text + two arrays) measured slower than the inline splits
     docs(spark, sfDir).selectExpr(
       "doc_id",
       "CAST(length(text) AS BIGINT) AS n_chars_m",
@@ -64,8 +82,10 @@ object TextOps {
     */
   def langId(spark: SparkSession, sfDir: String): DataFrame = {
     val h = Stop.keys.map(l => l -> s"h_$l").toMap
-    val scored = docs(spark, sfDir).selectExpr(
-      Seq("doc_id", "lang") ++ Stop.keys.map(l => s"${hits(l)} AS ${h(l)}"): _*)
+    val scored = docs(spark, sfDir)
+      .selectExpr("doc_id", "lang", s"$LowerToks AS lt")
+      .selectExpr(
+        Seq("doc_id", "lang") ++ Stop.keys.map(l => s"${hitsOn(l)} AS ${h(l)}"): _*)
     val langs = Seq("en", "de", "fr", "es", "zh")
     val pred = langs
       .foldLeft(when(lit(false), lit(""))) { (acc, l) =>
