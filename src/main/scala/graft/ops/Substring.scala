@@ -152,9 +152,17 @@ object Substring {
         // positions differ by more than W — run starts pair 1:1 with
         // run ends, no accumulator-copying fold (which would be
         // O(intervals²) per doc on scattered boilerplate)
+        // the neighbor indices are CLAMPED into [1, size(ps)]
+        // (greatest/least) so every element_at is in-bounds no matter
+        // which OR operand an engine evaluates first — the previous
+        // guards relied on SQL OR short-circuit to skip an
+        // ANSI-erroring element_at(ps, 0) / element_at(ps, size+1),
+        // an evaluation-order detail no SQL spec guarantees (ADVICE
+        // r06). At the clamp boundary the i=1 / i=size(ps) disjunct is
+        // already true, so the truth table is unchanged.
         s"""zip_with(
-           |  filter(sequence(1, size(ps)), i -> i = 1 OR element_at(ps, i) - element_at(ps, i - 1) > $wL),
-           |  filter(sequence(1, size(ps)), i -> i = size(ps) OR element_at(ps, i + 1) - element_at(ps, i) > $wL),
+           |  filter(sequence(1, size(ps)), i -> i = 1 OR element_at(ps, i) - element_at(ps, greatest(i - 1, 1)) > $wL),
+           |  filter(sequence(1, size(ps)), i -> i = size(ps) OR element_at(ps, least(i + 1, size(ps))) - element_at(ps, i) > $wL),
            |  (a, b) -> named_struct('s', element_at(ps, a), 'e', element_at(ps, b) + $wL)) AS iv"""
           .stripMargin.replace("\n", " "))
     toks.join(iv, Seq("doc_id"), "left")

@@ -228,15 +228,23 @@ object TextOps {
     else {
       val rows = d.select("doc_id", "text").orderBy("doc_id").collect().map { r =>
         val id = r.getLong(0)
-        val text = r.getString(1)
-        val n = text.getBytes("UTF-8").length.toLong
-        val z = graft.spark.CompressExpressions.deflatedLength(
-          org.apache.spark.unsafe.types.UTF8String.fromString(text))
-        // valueOf (the decimal-string repr), NOT new BigDecimal (the
-        // exact binary value) — Spark's Round goes through valueOf
-        val ratio = java.math.BigDecimal.valueOf(z.toDouble / math.max(n, 1L))
-          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
-        s"($id, $n, $z, $ratio)"
+        if (r.isNullAt(1)) {
+          // NULL-text contract (ADVICE r06): the Spark query emits a row
+          // with NULL n_bytes/z_bytes/ratio for a NULL text — mirror it
+          // instead of NPEing the oracle builder (the other text
+          // operators adopted the same NULL handling in r06)
+          s"($id, NULL, NULL, NULL)"
+        } else {
+          val text = r.getString(1)
+          val n = text.getBytes("UTF-8").length.toLong
+          val z = graft.spark.CompressExpressions.deflatedLength(
+            org.apache.spark.unsafe.types.UTF8String.fromString(text))
+          // valueOf (the decimal-string repr), NOT new BigDecimal (the
+          // exact binary value) — Spark's Round goes through valueOf
+          val ratio = java.math.BigDecimal.valueOf(z.toDouble / math.max(n, 1L))
+            .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+          s"($id, $n, $z, $ratio)"
+        }
       }
       Map("t34_compress_ratio" ->
         s"""SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,

@@ -36,6 +36,14 @@ object CompressExpressions {
     */
   val Level = 6
 
+  /** One Deflater per executor task thread, deliberately never end()'d
+    * (ADVICE r06 — documented lifetime): task threads are pooled and
+    * long-lived, so each native zlib stream is reused across every task
+    * the thread runs; if a thread DOES die, the JDK's own Cleaner on
+    * java.util.zip.Deflater (JDK 9+) frees the native state once the
+    * ThreadLocal entry becomes unreachable — bounded either way, no
+    * unreleased allocation outlives its thread's GC horizon.
+    */
   private val local: ThreadLocal[(Deflater, Array[Byte])] =
     new ThreadLocal[(Deflater, Array[Byte])] {
       override def initialValue(): (Deflater, Array[Byte]) =
