@@ -269,9 +269,12 @@ object Components {
     * (doc_id, component, csize, is_keeper) — singletons are their own
     * keepers.
     *
-    * Scale shape: quality features are a per-row projection (here; a
-    * production run joins the PERSISTED t3 feature table instead of
-    * recomputing — same contract as t20's verdict join); the keeper
+    * Scale shape: quality features are a per-row projection computed
+    * for dup-graph MEMBERS only — the member join runs before the
+    * tokenizer, so the projection is dup-graph-sized, never
+    * corpus-sized (r07; a production run joins the PERSISTED t3
+    * feature table instead of recomputing — same contract as t20's
+    * verdict join); the keeper
     * argmax is ONE groupBy(component) with a map-side-combinable max_by
     * over the dup-graph-sized labeled relation (narrow: 3×8 B + a
     * double); the corpus-wide verdict is one doc_id equi-join against
@@ -283,17 +286,21 @@ object Components {
     val docsDf = Dedup.docs(spark, sfDir)
     // Consumed twice (keeper argmax + the corpus verdict join).
     val comps = Staging.materialize(dupComponents(spark, sfDir, fam), "t28_comps")
-    // toks/lt factored into their own projection (r07, see
-    // TextOps.LowerToks): inlined, the ratio re-ran the tokenizing
-    // split 3× per row
-    val q = docsDf
-      .selectExpr("doc_id",
+    // Quality is computed for DUP-GRAPH MEMBERS ONLY (r07): the member
+    // join runs FIRST, so the tokenizing projection touches |dup graph|
+    // rows, not |corpus| — the argmax needs no quality signal for
+    // singletons, and at 100 TB the dup graph is orders of magnitude
+    // smaller than the corpus (the previous shape tokenized every
+    // document and threw the non-members away in the join). toks/lt
+    // factored into their own projection (see TextOps.LowerToks):
+    // inlined, the ratio re-ran the tokenizing split 3× per row.
+    val keepers = comps.select(col("doc_id"), col("component"))
+      .join(docsDf.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .selectExpr("component", "doc_id",
         s"${TextOps.Toks} AS toks", s"${TextOps.LowerToks} AS lt")
-      .selectExpr(
-      "doc_id",
-      s"round(${TextOps.hitsOn("en")} / greatest(size(toks), 1), 4) AS q_ratio",
-      "CAST(size(toks) AS BIGINT) AS n_words")
-    val keepers = comps.join(q, Seq("doc_id"))
+      .selectExpr("component", "doc_id",
+        s"round(${TextOps.hitsOn("en")} / greatest(size(toks), 1), 4) AS q_ratio",
+        "CAST(size(toks) AS BIGINT) AS n_words")
       .groupBy("component")
       .agg(max_by(
         col("doc_id"),
