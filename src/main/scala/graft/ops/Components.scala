@@ -294,13 +294,16 @@ object Components {
     // document and threw the non-members away in the join). toks/lt
     // factored into their own projection (see TextOps.LowerToks):
     // inlined, the ratio re-ran the tokenizing split 3× per row.
+    // ... and ONE tokenizing split per member row: size(lt) ==
+    // size(toks) (lowercasing never touches the whitespace class), so
+    // the lower-cased array serves both the hit count and the word
+    // count.
     val keepers = comps.select(col("doc_id"), col("component"))
       .join(docsDf.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .selectExpr("component", "doc_id", s"${TextOps.LowerToks} AS lt")
       .selectExpr("component", "doc_id",
-        s"${TextOps.Toks} AS toks", s"${TextOps.LowerToks} AS lt")
-      .selectExpr("component", "doc_id",
-        s"round(${TextOps.hitsOn("en")} / greatest(size(toks), 1), 4) AS q_ratio",
-        "CAST(size(toks) AS BIGINT) AS n_words")
+        s"round(${TextOps.hitsOn("en")} / greatest(size(lt), 1), 4) AS q_ratio",
+        "CAST(size(lt) AS BIGINT) AS n_words")
       .groupBy("component")
       .agg(max_by(
         col("doc_id"),

@@ -61,16 +61,18 @@ object Curation {
   def perRowSignals(spark: SparkSession, sfDir: String,
       fam: HashFamily = HashFamily.Xx64): DataFrame = {
     val h = TextOps.Stop.keys.map(l => l -> s"h_$l").toMap
-    // toks/lt factored into their own projection (r07): inlined, the 5
-    // per-language hit counts plus the quality ratios re-ran the
-    // tokenizing split 7× per row (see TextOps.LowerToks)
+    // ONE tokenizing split per row (r07): inlined, the 5 per-language
+    // hit counts plus the quality ratios re-ran it 7× (see
+    // TextOps.LowerToks). The lower-cased array also serves the token
+    // COUNT (n_words and the ratio denominator): lowercasing maps
+    // characters and never produces or removes the split's whitespace
+    // class, so size(lt) == size(toks) for every input.
     val scored = Dedup.docs(spark, sfDir)
-      .selectExpr("doc_id", "lang",
-        s"${TextOps.Toks} AS toks", s"${TextOps.LowerToks} AS lt")
+      .selectExpr("doc_id", "lang", s"${TextOps.LowerToks} AS lt")
       .selectExpr(
       Seq("doc_id", "lang",
-        "CAST(size(toks) AS BIGINT) AS n_words",
-        s"round(${TextOps.hitsOn(KeepLang)} / greatest(size(toks), 1), 4) AS stopword_ratio",
+        "CAST(size(lt) AS BIGINT) AS n_words",
+        s"round(${TextOps.hitsOn(KeepLang)} / greatest(size(lt), 1), 4) AS stopword_ratio",
         s"${Sampling.bucketSql(fam)} AS bucket") ++
         TextOps.Stop.keys.map(l => s"${TextOps.hitsOn(l)} AS ${h(l)}"): _*)
     // the same fixed-priority argmax as TextOps.langId
