@@ -73,9 +73,23 @@ object Components {
     dupEdgesOf(Dedup.docs(spark, sfDir), fam)
 
   def dupEdgesOf(docsDf: DataFrame,
-      fam: HashFamily = HashFamily.Xx64): DataFrame = {
-    val near = Dedup.minhashLshOn(docsDf, th = 0.5, fam = fam)
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      fam: HashFamily = HashFamily.Xx64): DataFrame =
+    withExactEdges(docsDf,
+      Dedup.minhashLshOn(docsDf, th = 0.5, fam = fam))
+
+  /** [[dupEdgesOf]] with the near-dup half computed from an
+    * ALREADY-MATERIALIZED signature relation of `docsDf` — so a caller
+    * holding a staged signature table (t29) pays zero extra signature
+    * passes for the edge list.
+    */
+  private[graft] def dupEdgesFromSigs(docsDf: DataFrame, sigDf: DataFrame,
+      fam: HashFamily = HashFamily.Xx64): DataFrame =
+    withExactEdges(docsDf,
+      Dedup.minhashLshOnSigs(sigDf, th = 0.5, fam = fam))
+
+  private def withExactEdges(docsDf: DataFrame,
+      nearPairs: DataFrame): DataFrame = {
+    val near = nearPairs.select(col("id_a").as("src"), col("id_b").as("dst"))
     val groups = docsDf
       .groupBy(sha2(col("text"), 256).as("h"))
       .agg(min(col("doc_id")).as("keep_id"))
@@ -341,14 +355,24 @@ object Components {
     val d = Dedup.docs(spark, sfDir).select(col("doc_id"), col("text"))
     val corpus = d.filter(col("doc_id") % 4 =!= 0)
     val batch = d.filter(col("doc_id") % 4 === 0)
+    // The corpus signature relation feeds BOTH the standing clustering's
+    // near-dup edges and the incremental band probe — staged ONCE (r07:
+    // each path previously staged its own copy, i.e. a second full
+    // corpus tokenize+shingle+hash pass per run; in production both read
+    // the same persisted signature table, ICEBERG.md §5).
+    val corpusSig = Staging.materialize(
+      Dedup.minhashSignatures(corpus, fam), "t29_corpus_sig")
+    val batchSig = Staging.materialize(
+      Dedup.minhashSignatures(batch, fam), "t29_batch_sig")
     // Standing state — persisted tables in production (ICEBERG.md §5c),
     // recomputed here because the sandbox keeps no state between runs.
-    val standing = connectedComponents(dupEdgesOf(corpus, fam))
+    val standing = connectedComponents(dupEdgesFromSigs(corpus, corpusSig, fam))
     val shaKeeper = corpus
       .groupBy(sha2(col("text"), 256).as("h"))
       .agg(min(col("doc_id")).as("keep_id"))
     // New edges: the batch's near-dup pairs (t17 broadcast probe) …
-    val near = Dedup.minhashIncrementalOn(batch, corpus, th = 0.5, fam = fam)
+    val near = Dedup.minhashIncrementalOnSigs(batchSig, corpusSig,
+        th = 0.5, fam = fam)
       .select(col("new_id").as("src"), col("dup_of").as("dst"))
     // … plus its exact-dup links against the standing sha table and
     // within itself.

@@ -211,7 +211,21 @@ object Dedup {
     // (Staging: localCheckpoint by default; a durable parquet staging
     // table when `graft.staging.dir` is set — the persisted signature
     // table every production MinHash pipeline stages anyway).
-    val sig = Staging.materialize(minhashSignatures(docsDf, fam), "t6_signatures")
+    minhashLshOnSigs(
+      Staging.materialize(minhashSignatures(docsDf, fam), "t6_signatures"),
+      th, fam)
+  }
+
+  /** [[minhashLshOn]] over an ALREADY-MATERIALIZED signature relation —
+    * the entry point for callers that hold a staged/persisted signature
+    * table and consume it in MORE places than this pair job (t29 feeds
+    * the same corpus signatures to the standing clustering AND the
+    * incremental band probe; a production run reads the persisted
+    * signature table of ICEBERG.md §5). `sig` must be materialized by
+    * the caller: it is referenced three times below.
+    */
+  def minhashLshOnSigs(sig: DataFrame, th: Double,
+      fam: HashFamily = HashFamily.Xx64): DataFrame = {
     // Band key per the family (HashFamily.bandKeySql): an 8-byte long in
     // production, the comma-joined values verbatim under the mirror (the
     // oracle must reproduce the exact candidate set).
